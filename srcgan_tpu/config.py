@@ -1,0 +1,44 @@
+"""Global numerics configuration.
+
+On TPU, XLA's default convolution/matmul precision feeds the MXU with bfloat16
+operands.  That is the right choice for training throughput, but bit-close parity
+with the fp32 torch reference (PSNR within 0.1 dB — BASELINE.md) needs full fp32.
+
+``conv_precision`` therefore defaults to ``"highest"`` (fp32 accumulation via
+multi-pass on the MXU); performance-critical paths (bench, bf16 training mode)
+switch to ``"default"`` explicitly via ``set_conv_precision`` or the
+``matmul_precision`` context manager.
+"""
+from __future__ import annotations
+
+import contextlib
+
+from jax import lax
+
+_PRECISION = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}
+
+conv_precision: lax.Precision = lax.Precision.HIGHEST
+
+
+def set_conv_precision(name: str) -> None:
+    global conv_precision
+    conv_precision = _PRECISION[name]
+
+
+def get_conv_precision() -> lax.Precision:
+    return conv_precision
+
+
+@contextlib.contextmanager
+def matmul_precision(name: str):
+    global conv_precision
+    old = conv_precision
+    conv_precision = _PRECISION[name]
+    try:
+        yield
+    finally:
+        conv_precision = old
