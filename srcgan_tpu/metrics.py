@@ -1,0 +1,123 @@
+"""Evaluation metrics (MSE / PSNR / AE / SSIM), pure JAX over NHWC tensors.
+
+Reproduces /root/reference/src/metrics.py semantics exactly so Performs.csv
+numbers are comparable:
+  - AE (metrics.py:10-33): per-pixel angular error in degrees between channel
+    vectors, eps=1e-6 in the denominator, mean over H,W -> per-sample vector.
+  - MSE/PSNR (metrics.py:36-68): plain mean, 10*log10(1/mse) assuming [0,1].
+  - SSIM (metrics.py:71-144): 11x11 Gaussian window sigma=1.5, *valid* (pad=0)
+    per-channel convolution, and the reference's dynamic-range auto-detection
+    (max>128 -> 255 else 1; min<-0.5 -> -1 else 0) implemented branchlessly so
+    the whole metric jits.
+
+Each metric is a callable object whose repr() is the Performs.csv column name,
+mirroring the reference protocol (testCas.py:63, :95).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from srcgan_tpu import ops
+
+EPS = 1e-6
+
+
+def _gaussian_window(w_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.array([math.exp(-((x - w_size // 2) ** 2) / (2.0 * sigma ** 2))
+                  for x in range(w_size)], dtype=np.float64)
+    g /= g.sum()
+    w2d = np.outer(g, g)
+    return w2d.astype(np.float32)
+
+
+def mse(y_pred, y_true):
+    return jnp.mean((y_pred - y_true) ** 2)
+
+
+def psnr(y_pred, y_true):
+    return 10.0 * jnp.log10(1.0 / mse(y_pred, y_true))
+
+
+def angular_error(y_pred, y_true):
+    """Mean angular error (degrees) between channel vectors; (N,) per-sample."""
+    dot = jnp.sum(y_pred * y_true, axis=-1)
+    n_pred = jnp.sqrt(jnp.sum(y_pred * y_pred, axis=-1))
+    n_true = jnp.sqrt(jnp.sum(y_true * y_true, axis=-1))
+    cos = dot / (n_pred * n_true + EPS)
+    # torch.acos on |x|>1 yields nan; the reference relies on inputs staying in
+    # range. Clip for robustness — identical where the reference is finite.
+    ae = 180.0 / math.pi * jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+    return ae.mean(axis=(1, 2))
+
+
+def ssim(y_pred, y_true, w_size: int = 11, size_average: bool = True,
+         full: bool = False):
+    """SSIM with the reference's auto dynamic range and valid-window conv."""
+    # Branchless dynamic-range detection (reference metrics.py:101-111).
+    max_val = jnp.where(jnp.max(y_pred) > 128.0, 255.0, 1.0)
+    min_val = jnp.where(jnp.min(y_pred) < -0.5, -1.0, 0.0)
+    dyn_l = max_val - min_val
+
+    c = y_pred.shape[-1]
+    w2d = _gaussian_window(w_size)
+    window = jnp.asarray(np.tile(w2d[:, :, None, None], (1, 1, 1, c)))
+
+    def filt(x):
+        return ops.depthwise_conv2d(x.astype(jnp.float32), window, None, 1, 0)
+
+    mu1, mu2 = filt(y_pred), filt(y_true)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    sigma1_sq = filt(y_pred * y_pred) - mu1_sq
+    sigma2_sq = filt(y_true * y_true) - mu2_sq
+    sigma12 = filt(y_pred * y_true) - mu1_mu2
+
+    c1 = (0.01 * dyn_l) ** 2
+    c2 = (0.03 * dyn_l) ** 2
+    v1 = 2.0 * sigma12 + c2
+    v2 = sigma1_sq + sigma2_sq + c2
+    cs = jnp.mean(v1 / v2)
+    ssim_map = ((2.0 * mu1_mu2 + c1) * v1) / ((mu1_sq + mu2_sq + c1) * v2)
+
+    ret = jnp.mean(ssim_map) if size_average else ssim_map.mean(axis=(1, 2, 3))
+    if full:
+        return ret, cs
+    return ret
+
+
+class _Metric:
+    def __init__(self, name: str, fn):
+        self._name, self._fn = name, fn
+
+    def __repr__(self):
+        return self._name
+
+    def __call__(self, y_pred, y_true, **kw):
+        return self._fn(y_pred, y_true, **kw)
+
+
+class MSE(_Metric):
+    def __init__(self):
+        super().__init__("MSE", mse)
+
+
+class PSNR(_Metric):
+    def __init__(self):
+        super().__init__("PSNR", psnr)
+
+
+class AE(_Metric):
+    def __init__(self):
+        super().__init__("AE", angular_error)
+
+
+class SSIM(_Metric):
+    def __init__(self):
+        super().__init__("SSIM", ssim)
+
+
+def default_evaluators():
+    """The reference eval battery (testCas.py:63)."""
+    return [MSE(), PSNR(), AE(), SSIM()]
