@@ -75,12 +75,14 @@ class Conv2d(Module):
     | 'normal' | a callable(key, shape)."""
 
     def __init__(self, in_ch: int, out_ch: int, kernel_size, stride=1, padding=0,
-                 bias: bool = True, groups: int = 1, weight_init="kaiming"):
+                 bias: bool = True, groups: int = 1, weight_init="kaiming",
+                 bias_init=None):
         self.in_ch, self.out_ch = in_ch, out_ch
         self.k = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
         self.stride, self.padding = stride, padding
         self.use_bias, self.groups = bias, groups
         self.weight_init = weight_init
+        self.bias_init = bias_init
 
     def _w_shape(self):
         return (*self.k, self.in_ch // self.groups, self.out_ch)
@@ -101,7 +103,9 @@ class Conv2d(Module):
             raise ValueError(wi)
         p = {"w": w}
         if self.use_bias:
-            if wi == "kaiming":
+            if self.bias_init == "zeros":
+                p["b"] = jnp.zeros((self.out_ch,))
+            elif wi == "kaiming":
                 # torch kaiming_normal_ only touches the weight; bias keeps the
                 # torch default uniform(+-1/sqrt(fan_in)).
                 fan_in = shape[0] * shape[1] * shape[2]
@@ -123,12 +127,13 @@ class ConvTranspose2d(Module):
 
     def __init__(self, in_ch: int, out_ch: int, kernel_size: int, stride: int = 1,
                  padding: int = 0, output_padding: int = 0, bias: bool = True,
-                 weight_init="kaiming"):
+                 weight_init="kaiming", bias_init=None):
         self.in_ch, self.out_ch = in_ch, out_ch
         self.k, self.stride = kernel_size, stride
         self.padding, self.output_padding = padding, output_padding
         self.use_bias = bias
         self.weight_init = weight_init
+        self.bias_init = bias_init
 
     def init(self, key):
         kw, kb = _split(key, 2)
@@ -151,8 +156,11 @@ class ConvTranspose2d(Module):
             raise ValueError(wi)
         p = {"w": w}
         if self.use_bias:
-            fan_in = self.out_ch * self.k * self.k
-            p["b"] = init.torch_bias_default(kb, (self.out_ch,), fan_in)
+            if self.bias_init == "zeros":
+                p["b"] = jnp.zeros((self.out_ch,))
+            else:
+                fan_in = self.out_ch * self.k * self.k
+                p["b"] = init.torch_bias_default(kb, (self.out_ch,), fan_in)
         return p
 
     def forward(self, params, x, train):
