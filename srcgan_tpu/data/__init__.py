@@ -1,0 +1,16 @@
+"""Data layer: file-list datasets, on-device preprocessing, batching."""
+from srcgan_tpu.data.dataset import (
+    DATASET_DIR,
+    FileListDataset,
+    G2LAB,
+    G2RGB,
+    batches,
+    load_dataset,
+    make_synthetic_dataset,
+)
+from srcgan_tpu.data import preprocess
+
+__all__ = [
+    "DATASET_DIR", "FileListDataset", "G2LAB", "G2RGB", "batches",
+    "load_dataset", "make_synthetic_dataset", "preprocess",
+]

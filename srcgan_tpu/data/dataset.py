@@ -1,0 +1,183 @@
+"""File-list datasets (G2RGB / G2LAB) with on-device preprocessing.
+
+Reference layout reproduced (dataset.py:40-45): ``<data_dir>/<root>/{src,tar}/``
+plus ``{train,val,test}.txt`` file lists.  The split between host and device is
+TPU-first:
+
+  host   : file list, PNG decode (PIL), uint8 HWC arrays, batching/shuffling —
+           cheap, parallel-friendly, no float math;
+  device : everything numeric — /255 normalize, gray (luma), RGB->LAB — runs as
+           one jit-compiled function (srcgan_tpu.data.preprocess) that fuses
+           into the training step's first convs, so the H2D transfer is uint8
+           (4x smaller than fp32) and no intermediate hits HBM twice.
+
+The reference's host-side skimage conversions (dataset.py:114-159) are matched
+bit-close by srcgan_tpu.ops.color (tested against skimage golden values).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DATASET_DIR = os.environ.get(
+    "SRCGAN_DATA_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "dataset"))
+
+
+def _read_png(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+class FileListDataset:
+    """Host-side dataset: yields uint8 RGB (src, tar) pairs by index.
+
+    ver selects the on-device target conversion: 'G2RGB' (src->gray, tar->RGB)
+    or 'G2LAB' (tar->normalized LAB), matching dataset.py:163-272.
+    """
+
+    def __init__(self, root: str, split: str = "all", ver: str = "G2RGB",
+                 data_dir: Optional[str] = None):
+        self.root, self.split, self.ver = root, split, ver
+        self.data_dir = data_dir or DATASET_DIR
+        base = os.path.join(self.data_dir, root)
+        with open(os.path.join(base, f"{split}.txt")) as f:
+            self.datalist: List[str] = [ln.strip() for ln in f if ln.strip()]
+        self.srcpath = os.path.join(base, "src", "%s")
+        self.tarpath = os.path.join(base, "tar", "%s")
+        self.src_ch, self.tar_ch = 1, 3
+
+    def __len__(self):
+        return len(self.datalist)
+
+    def raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """uint8 HWC RGB pair (host)."""
+        name = self.datalist[idx]
+        return _read_png(self.srcpath % name), _read_png(self.tarpath % name)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        """Reference-parity sample: converted float arrays (NHWC slices).
+
+        For the hot training path prefer ``batches()`` + on-device conversion;
+        this per-sample path converts on host for API compatibility.
+        """
+        from srcgan_tpu.data import preprocess
+
+        src_u8, tar_u8 = self.raw(idx)
+        src, tar = preprocess.convert_pair(
+            src_u8[None], tar_u8[None], self.ver)
+        return {"src": np.asarray(src[0]), "tar": np.asarray(tar[0]), "idx": idx}
+
+    def show(self, idx: int, example_dir: Optional[str] = None) -> str:
+        """Write a side-by-side preview PNG (dataset.py:201-215 equivalent)."""
+        from srcgan_tpu.utils.vis import whitespace, save_png
+        from srcgan_tpu.data import preprocess
+        import numpy as _np
+
+        sample = self.__getitem__(idx)
+        src = sample["src"]
+        tar = sample["tar"]
+        src_img = whitespace((_np.repeat(src, 3, axis=-1) * 255).astype(_np.uint8))
+        if self.ver == "G2LAB":
+            from srcgan_tpu import ops
+            tar_rgb = _np.asarray(ops.lab_norm_to_rgb(tar[None])[0])
+        else:
+            tar_rgb = tar
+        tar_img = whitespace((tar_rgb * 255).astype(_np.uint8))
+        vis = _np.concatenate([src_img, tar_img], axis=1)
+        out_dir = example_dir or os.path.join(
+            os.path.dirname(self.data_dir), "example", self.root + self.ver)
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, f"{self.split}-{idx}.png")
+        save_png(out, vis)
+        return out
+
+
+class G2RGB(FileListDataset):
+    def __init__(self, root, split="all", **kw):
+        super().__init__(root, split, ver="G2RGB", **kw)
+
+
+class G2LAB(FileListDataset):
+    def __init__(self, root, split="all", **kw):
+        super().__init__(root, split, ver="G2LAB", **kw)
+
+
+_VERSIONS = {"G2RGB": G2RGB, "G2LAB": G2LAB}
+
+
+def load_dataset(root: str, ver: str = "G2RGB", mode: str = "training"):
+    """(trainset, valset, testset) factory — dataset.py:275-285 parity."""
+    cls = _VERSIONS[ver]
+    return (cls(root, "train"), cls(root, "val"), cls(root, "test"))
+
+
+# ---------------------------------------------------------------------------
+# Batch iteration (host side)
+# ---------------------------------------------------------------------------
+
+def batches(dataset: FileListDataset, batch_size: int, *, shuffle: bool = False,
+            seed: int = 0, drop_last: bool = False,
+            epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (src_u8, tar_u8, idx) uint8 batches.  Deterministic per (seed, epoch)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(order)
+    n = len(order)
+    stop = n - (n % batch_size) if drop_last else n
+    for start in range(0, stop, batch_size):
+        idxs = order[start:start + batch_size]
+        srcs, tars = zip(*(dataset.raw(int(i)) for i in idxs))
+        yield np.stack(srcs), np.stack(tars), idxs
+
+
+# ---------------------------------------------------------------------------
+# Synthetic data (tests / bench — no Sat2Aer imagery ships with this image)
+# ---------------------------------------------------------------------------
+
+def make_synthetic_dataset(path: str, n_train: int = 8, n_val: int = 2,
+                           n_test: int = 2, size: int = 64, seed: int = 0,
+                           scale: int = 1) -> str:
+    """Create an on-disk Sat2Aer-layout dataset with procedural imagery.
+
+    tar: smooth random RGB fields (sum of low-frequency cosines + noise);
+    src: grayscale rendering of tar, optionally downscaled by ``scale`` —
+    mirroring the Sat2Aerx1/x2/x4 variants.  Returns the dataset root name.
+    """
+    rng = np.random.default_rng(seed)
+    root = os.path.basename(path)
+    os.makedirs(os.path.join(path, "src"), exist_ok=True)
+    os.makedirs(os.path.join(path, "tar"), exist_ok=True)
+    names = {"train": [], "val": [], "test": []}
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    total = {"train": n_train, "val": n_val, "test": n_test}
+    for split, count in total.items():
+        for i in range(count):
+            img = np.zeros((size, size, 3), np.float32)
+            for _ in range(4):
+                fx, fy = rng.uniform(0.5, 4, 2)
+                ph = rng.uniform(0, 6.28, 3)
+                for c in range(3):
+                    img[..., c] += np.cos(2 * np.pi * (fx * xx + fy * yy) + ph[c])
+            img = (img - img.min()) / (np.ptp(img) + 1e-9)
+            img = (img * 255).astype(np.uint8)
+            gray = (img.astype(np.float32) @ np.array([0.2125, 0.7154, 0.0721]))
+            src = np.repeat(gray[..., None], 3, -1).astype(np.uint8)
+            if scale > 1:
+                src = np.asarray(Image.fromarray(src).resize(
+                    (size // scale, size // scale), Image.BILINEAR))
+            name = f"{split}-{i}.png"
+            Image.fromarray(img).save(os.path.join(path, "tar", name))
+            Image.fromarray(src).save(os.path.join(path, "src", name))
+            names[split].append(name)
+    for split, lst in names.items():
+        with open(os.path.join(path, f"{split}.txt"), "w") as f:
+            f.write("\n".join(lst) + "\n")
+    return root

@@ -23,6 +23,7 @@ from srcgan_tpu.models.discriminator import NLayerDiscriminator
 from srcgan_tpu.models.legacy import (
     RDDBNetA,
     RDDBNetB,
+    RDDBNetD,
     SRDenseNetA,
     SRDenseNetB,
 )
@@ -40,6 +41,7 @@ REGISTRY: Dict[str, type] = {
     "NLayerDiscriminator": NLayerDiscriminator,
     "RDDBNetA": RDDBNetA,
     "RDDBNetB": RDDBNetB,
+    "RDDBNetD": RDDBNetD,
     "SRDenseNetA": SRDenseNetA,
     "SRDenseNetB": SRDenseNetB,
 }

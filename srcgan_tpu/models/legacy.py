@@ -210,3 +210,46 @@ class SRDenseNetB(_SRDenseNetBase):
 
     def _resample(self, p, x):
         return jax.nn.relu(self.mods.layers["deconv"].fwd(p["deconv"], x))
+
+
+class RDDBNetD(nn.Module):
+    """Downscaling counterpart to RDDBNetA — a reconstruction, not a port.
+
+    The reference's CycleGAN drivers import an ``RDDBNetA`` for the B->A
+    (downscale) generator that is defined nowhere (train.py:11; SURVEY.md §2.2),
+    and the only mode-based RDDB net (model.py:347) *upscales*, which would
+    break the cycle-consistency shapes.  The one shape-consistent pairing the
+    reference ships is SRDenseNetA (deconv up) / SRDenseNetB (stride-2 down)
+    (model.py:698-701 vs :755-758).  RDDBNetD mirrors RDDBNetA's structure with
+    that same up->down substitution: stride-2 convs (shared weights per scale,
+    like RDDBNetA's reused ``upconv``) in place of nearest-upsample+conv.
+    """
+
+    def __init__(self, in_nc: int, out_nc: int, nf: int = 64, nb: int = 3,
+                 gc: int = 32, mode: str = "x2"):
+        self.mode = mode
+        self.mods = nn.named({
+            "conv_first": nn.Conv2d(in_nc, nf, 3, 1, 1, bias=True),
+            "trunk": rrdb_trunk(nf, nb, gc),
+            "trunk_conv": nn.Conv2d(nf, nf, 3, 1, 1, bias=True),
+            "downconv": nn.Conv2d(nf, nf, 3, 2, 1, bias=True),
+            "HRconv": nn.Conv2d(nf, nf, 3, 1, 1, bias=True),
+            "conv_last": nn.Conv2d(nf, out_nc, 3, 1, 1, bias=True),
+        })
+
+    def init(self, key):
+        return self.mods.init(key)
+
+    def forward(self, p, x, train):
+        m = self.mods.layers
+        lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+        fea = m["conv_first"].fwd(p["conv_first"], x)
+        trunk = m["trunk_conv"].fwd(p["trunk_conv"],
+                                    m["trunk"].fwd(p["trunk"], fea, train))
+        fea = fea + trunk
+        n_down = {"x1": 0, "x2": 1, "x4": 2}[self.mode]
+        for _ in range(n_down):
+            fea = lrelu(m["downconv"].fwd(p["downconv"], fea))
+        fea = lrelu(m["HRconv"].fwd(p["HRconv"], fea))
+        return m["conv_last"].fwd(p["conv_last"],
+                                  lrelu(m["HRconv"].fwd(p["HRconv"], fea)))

@@ -1,0 +1,163 @@
+"""Cascaded SR -> colorization trainer (CasSRC).
+
+Re-creation of the reference's four cascade pipelines as ONE fused jit step:
+  trainCas.py         (bilinear 1/up degradation, RGB targets)
+  trainCasConst.py    (const=True: down+up blur, full-size transfer)
+  trainCasLAB.py      (lab=True: L-channel SR, ab-channel colorization)
+  trainCasConstLAB.py (both)
+
+Key structural fact exploited for TPU: the reference updates netG_A2C on
+L1(SR(degrade(luma(B))), luma(B)) and netG_C2B on L1(C(luma(B)), B) — the second
+stage consumes the CLEAN gray, not the SR output (trainCas.py:99-101), so the
+two stages are data-independent and both gradients/updates compile into a
+single XLA program with no sequencing constraint.  The zero-shot transfer and
+PSNR validation (trainCas.py:103-131) run in the same program under
+stop_gradient.
+
+Both optimizer updates, the degradation replay, the transfer cascade and the
+validation PSNRs form one jit-compiled function — zero host round-trips per
+step.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from srcgan_tpu import losses, models
+from srcgan_tpu.data import preprocess
+from srcgan_tpu.train import optim
+from srcgan_tpu.train.state import TrainState
+
+
+class CasState(NamedTuple):
+    sr: TrainState
+    c: TrainState
+    sr_model_state: Any
+    c_model_state: Any
+
+
+class CasTrainer:
+    """Owns the two nets + optimizers; all compute is in pure jitted fns."""
+
+    def __init__(self, sr_model: str = "ESPCN", c_model: str = "ResDeconv",
+                 up: int = 2, lr: float = 1e-4, const: bool = False,
+                 lab: bool = False, lr_policy: str = "cosine",
+                 num_epochs: int = 50):
+        self.sr_name, self.c_name = sr_model, c_model
+        self.up, self.lr, self.const, self.lab = up, lr, const, lab
+        self.lr_policy, self.num_epochs = lr_policy, num_epochs
+        # trainCas.py:30-31 / trainCasLAB.py:31
+        self.netG_A2C = models.create(sr_model, 1, 1, up)
+        self.netG_C2B = models.create(c_model, 1, 2 if lab else 3)
+        self.opt = optim.adam(lr)
+
+    # -- setup ---------------------------------------------------------------
+
+    def init(self, key) -> CasState:
+        k1, k2 = jax.random.split(key)
+        sr_params = self.netG_A2C.init(k1)
+        c_params = self.netG_C2B.init(k2)
+        return CasState(
+            sr=TrainState(sr_params, self.opt.init(sr_params), jnp.zeros((), jnp.int32)),
+            c=TrainState(c_params, self.opt.init(c_params), jnp.zeros((), jnp.int32)),
+            sr_model_state=self.netG_A2C.init_state(),
+            c_model_state=self.netG_C2B.init_state(),
+        )
+
+    def lr_at_epoch(self, epoch: int) -> float:
+        return optim.reference_lr(self.lr_policy, self.lr, self.num_epochs, epoch)
+
+    # -- the fused step ------------------------------------------------------
+
+    def _split_targets(self, realB):
+        """(SR target 1ch, colorization target)."""
+        if self.lab:
+            return realB[..., :1], realB[..., 1:]  # L, ab (trainCasLAB.py:83-84)
+        return preprocess.luma(realB), realB  # trainCas.py:85-87
+
+    def _degrade(self, x):
+        if self.const:
+            return preprocess.degrade_const(x, self.up)
+        return preprocess.degrade_bilinear(x, self.up)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: CasState, realA, realB, lr
+                   ) -> Tuple[CasState, Dict[str, jnp.ndarray]]:
+        """One optimization step on a (realA gray, realB target) batch.
+
+        realA: (N,H,W,1) source-domain gray; realB: (N,H,W,3) RGB or norm-LAB.
+        Returns (new_state, metrics { loss_SR, loss_C, psnr_SR, psnr_C }).
+        """
+        real_BC, tgt_B = self._split_targets(realB)
+        real_BA = self._degrade(real_BC)
+
+        def sr_loss(p, st):
+            fake_BC, st2 = self.netG_A2C.apply(p, real_BA, state=st, train=True)
+            return losses.l1(fake_BC, real_BC), (fake_BC, st2)
+
+        (loss_sr, (fake_BC, sr_mstate)), g_sr = jax.value_and_grad(
+            sr_loss, has_aux=True)(state.sr.params, state.sr_model_state)
+
+        def c_loss(p, st):
+            fake_BB, st2 = self.netG_C2B.apply(p, real_BC, state=st, train=True)
+            return losses.l1(fake_BB, tgt_B), (fake_BB, st2)
+
+        (loss_c, (fake_BB, c_mstate)), g_c = jax.value_and_grad(
+            c_loss, has_aux=True)(state.c.params, state.c_model_state)
+
+        def update(ts: TrainState, grads) -> TrainState:
+            opt_state = optim.set_lr(ts.opt_state, lr)
+            updates, opt_state = self.opt.update(grads, opt_state, ts.params)
+            return TrainState(optax.apply_updates(ts.params, updates),
+                              opt_state, ts.step + 1)
+
+        new_state = CasState(update(state.sr, g_sr), update(state.c, g_c),
+                             sr_mstate, c_mstate)
+
+        metrics = {
+            "loss_SR": loss_sr,
+            "loss_C": loss_c,
+            # validate() (trainCas.py:124-131): PSNR on this step's outputs
+            "psnr_SR": losses.psnr(jax.lax.stop_gradient(fake_BC), real_BC),
+            "psnr_C": losses.psnr(jax.lax.stop_gradient(fake_BB), tgt_B),
+        }
+        return new_state, metrics
+
+    # -- transfer / eval cascade (trainCas.py:103-109, testCas protocol) -----
+
+    @partial(jax.jit, static_argnums=0)
+    def transfer(self, state: CasState, realA):
+        """Zero-shot source-domain cascade in eval mode.
+
+        bilinear-degrades realA (const pipelines keep full size,
+        trainCasConst.py:104-106) then runs SR -> colorize.
+        Returns (real_A_in, fake_AC, fake_AB).
+        """
+        if self.const:
+            real_A_in = realA
+        else:
+            real_A_in = preprocess.degrade_bilinear(realA, self.up)
+        fake_AC, _ = self.netG_A2C.apply(state.sr.params, real_A_in,
+                                         state=state.sr_model_state, train=False)
+        fake_AB, _ = self.netG_C2B.apply(state.c.params,
+                                         jax.lax.stop_gradient(fake_AC),
+                                         state=state.c_model_state, train=False)
+        return real_A_in, fake_AC, fake_AB
+
+    @partial(jax.jit, static_argnums=0)
+    def snapshot(self, state: CasState, realA, realB):
+        """Recompute the logged image set (trainCas.py:208-217) in eval mode."""
+        real_BC, tgt_B = self._split_targets(realB)
+        real_BA = self._degrade(real_BC)
+        fake_BC, _ = self.netG_A2C.apply(state.sr.params, real_BA,
+                                         state=state.sr_model_state, train=False)
+        fake_BB, _ = self.netG_C2B.apply(state.c.params, real_BC,
+                                         state=state.c_model_state, train=False)
+        real_A_in, fake_AC, fake_AB = self.transfer(state, realA)
+        return {"real_A": real_A_in, "fake_AC": fake_AC, "fake_AB": fake_AB,
+                "real_BA": real_BA, "real_BC": real_BC, "real_B": realB,
+                "fake_BC": fake_BC, "fake_BB": fake_BB}

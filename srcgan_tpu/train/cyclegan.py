@@ -1,0 +1,250 @@
+"""SRCycleGAN trainer — adversarial SR with cycle consistency.
+
+Re-creation of /root/reference/src/train.py:145-340 as two fused jit steps:
+
+  g_step: forward all six generator passes (fake/recl/iden), LSGAN generator
+          losses against frozen discriminators, cycle (x lambda x 0.5) and
+          identity terms, one Adam update over the chained G_A+G_B params
+          (train.py:191 itertools.chain == a single joint pytree here).
+  d_step: pooled-fake discriminator losses, 0.5x(real+fake) each, one Adam
+          update over the joint D_A+D_B params (lr=1e-5, train.py:192).
+
+The ImagePool history buffer (train.py:20-64) stays HOST-side: it is tiny
+(pool_size=4), stateful and RNG-driven — replicating its sampling semantics
+exactly matters more than keeping it on device.
+
+Network selection (train.py:166-180): the committed driver cannot run — it
+imports an undefined RDDBNetA and pairs upscaling generators in both cycle
+directions, which breaks cycle shapes (SURVEY.md §2.2).  The one
+shape-consistent configuration the reference ships is SRDenseNetA (deconv up) /
+SRDenseNetB (stride-2 down).  We therefore wire:
+  net='SRdens' : SRDenseNetA(1,3) up  / SRDenseNetB(3,1) down   [as reference]
+  net='1'      : RDDBNetB(3,3) up     / RDDBNetD(3,3) down      [reconstructed]
+  net default  : RDDBNetB(1,3) up     / RDDBNetD(3,1) down      [reconstructed]
+where RDDBNetD is the downscaling mirror of the mode-based RDDB net.
+"""
+from __future__ import annotations
+
+import random as _random
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from srcgan_tpu import losses, models, ops
+from srcgan_tpu.data import preprocess
+from srcgan_tpu.train import optim
+from srcgan_tpu.train.state import TrainState
+
+
+class ImagePool:
+    """History buffer of generated images, 50% replace policy
+    (train.py:20-64).  Host-side and stateful, like the reference."""
+
+    def __init__(self, pool_size: int, seed: int = 0):
+        self.pool_size = pool_size
+        self.num_imgs = 0
+        self.images: List[np.ndarray] = []
+        self._rng = _random.Random(seed)
+
+    def query(self, images) -> np.ndarray:
+        if self.pool_size == 0:
+            return np.asarray(images)
+        out = []
+        for image in np.asarray(images):
+            image = image[None]
+            if self.num_imgs < self.pool_size:
+                self.num_imgs += 1
+                self.images.append(image)
+                out.append(image)
+            elif self._rng.uniform(0, 1) > 0.5:
+                rid = self._rng.randint(0, self.pool_size - 1)
+                tmp = self.images[rid].copy()
+                self.images[rid] = image
+                out.append(tmp)
+            else:
+                out.append(image)
+        return np.concatenate(out, 0)
+
+
+class CycleState(NamedTuple):
+    g: TrainState          # joint {G_A, G_B} params
+    d: TrainState          # joint {D_A, D_B} params
+    d_model_state: Any     # BatchNorm running stats for both Ds
+
+
+class CycleGANTrainer:
+    def __init__(self, net: str = "1", mode: str = "x2", lr: float = 1e-4,
+                 d_lr: float = 1e-5, beta1: float = 0.5, pool_size: int = 4,
+                 lambda_identity: float = 1.0, lambda_a: float = 10.0,
+                 lambda_b: float = 10.0, gan_mode: str = "lsgan",
+                 lr_policy: str = "cosine", num_epochs: int = 25):
+        self.net, self.mode = net, mode
+        self.scale = 2 if mode == "x2" else 4
+        self.lr, self.d_lr = lr, d_lr
+        self.lambda_identity = lambda_identity
+        self.lambda_a, self.lambda_b = lambda_a, lambda_b
+        self.gan_mode = gan_mode
+        self.lr_policy, self.num_epochs = lr_policy, num_epochs
+
+        if net == "SRdens":
+            self.netG_A = models.SRDenseNetA(1, 3, mode=mode, num_blocks=2,
+                                             num_layers=2)
+            self.netG_B = models.SRDenseNetB(3, 1, mode=mode, num_blocks=2,
+                                             num_layers=2)
+            d_b_ch = 1
+        elif net == "1":
+            self.netG_A = models.RDDBNetB(3, 3, 64, nb=3, mode=mode)
+            self.netG_B = models.RDDBNetD(3, 3, 64, nb=3, mode=mode)
+            d_b_ch = 3
+        else:
+            self.netG_A = models.RDDBNetB(1, 3, 64, nb=3, mode=mode)
+            self.netG_B = models.RDDBNetD(3, 1, 64, nb=3, mode=mode)
+            d_b_ch = 1
+        self.netD_A = models.NLayerDiscriminator(3, 64, 2)
+        self.netD_B = models.NLayerDiscriminator(d_b_ch, 64, 2)
+
+        self.fake_A_pool = ImagePool(pool_size)
+        self.fake_B_pool = ImagePool(pool_size)
+        self.opt_g = optim.adam(lr, b1=beta1)
+        self.opt_d = optim.adam(d_lr, b1=beta1)
+
+    def init(self, key) -> CycleState:
+        kga, kgb, kda, kdb = jax.random.split(key, 4)
+        g_params = {"G_A": self.netG_A.init(kga), "G_B": self.netG_B.init(kgb)}
+        d_params = {"D_A": self.netD_A.init(kda), "D_B": self.netD_B.init(kdb)}
+        d_state = {"D_A": self.netD_A.init_state(),
+                   "D_B": self.netD_B.init_state()}
+        return CycleState(
+            g=TrainState(g_params, self.opt_g.init(g_params), jnp.zeros((), jnp.int32)),
+            d=TrainState(d_params, self.opt_d.init(d_params), jnp.zeros((), jnp.int32)),
+            d_model_state=d_state,
+        )
+
+    def lr_at_epoch(self, epoch: int) -> Tuple[float, float]:
+        f = optim.reference_lr(self.lr_policy, 1.0, self.num_epochs, epoch)
+        return self.lr * f, self.d_lr * f
+
+    # -- identity-path inputs (train.py:241-260) -----------------------------
+
+    def _identity_inputs(self, realA, realB):
+        sf = self.scale
+        if self.net == "1":
+            real_b_gray = preprocess.degrade_nearest(realB, sf)
+            real_a_rgb = ops.interpolate(realA, scale_factor=float(sf),
+                                         mode="nearest")
+        else:
+            real_b_gray = preprocess.degrade_nearest(
+                preprocess.luma(realB), sf)
+            real_a_rgb = ops.interpolate(
+                jnp.concatenate([realA] * 3, -1), scale_factor=float(sf),
+                mode="nearest")
+        return real_b_gray, real_a_rgb
+
+    # -- G step --------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def g_step(self, state: CycleState, realA, realB, lr):
+        """Generator update with frozen discriminators; returns the generated
+        images for the host-side pools."""
+        real_b_gray, real_a_rgb = self._identity_inputs(realA, realB)
+
+        def loss_fn(gp):
+            g_a = lambda x: self.netG_A.fwd(gp["G_A"], x, train=True)
+            g_b = lambda x: self.netG_B.fwd(gp["G_B"], x, train=True)
+            fake_B = g_a(realA)
+            recl_A = g_b(fake_B)
+            fake_A = g_b(realB)
+            recl_B = g_a(fake_A)
+            iden_A = g_a(real_b_gray)
+            iden_B = g_b(real_a_rgb)
+
+            # D forwards in train mode (torch runs Ds in train() during the G
+            # step) but with frozen params/stats.
+            pred_fake_B, _ = self.netD_A.apply(state.d.params["D_A"], fake_B,
+                                               state=state.d_model_state["D_A"],
+                                               train=True)
+            pred_fake_A, _ = self.netD_B.apply(state.d.params["D_B"], fake_A,
+                                               state=state.d_model_state["D_B"],
+                                               train=True)
+            loss_g_a = losses.gan_loss(pred_fake_B, True, self.gan_mode)
+            loss_g_b = losses.gan_loss(pred_fake_A, True, self.gan_mode)
+            loss_cycle_a = losses.l1(recl_A, realA) * self.lambda_a * 0.5
+            loss_cycle_b = losses.l1(recl_B, realB) * self.lambda_b * 0.5
+            if self.lambda_identity > 0:
+                loss_iden_a = (losses.l1(iden_A, realB)
+                               * self.lambda_b / 2 * self.lambda_identity)
+                loss_iden_b = (losses.l1(iden_B, realA)
+                               * self.lambda_a / 2 * self.lambda_identity)
+            else:
+                loss_iden_a = loss_iden_b = jnp.zeros(())
+            loss_g = (loss_g_a + loss_g_b + loss_cycle_a + loss_cycle_b
+                      + loss_iden_a + loss_iden_b)
+            aux = {
+                "fake_A": fake_A, "fake_B": fake_B,
+                "recl_A": recl_A, "recl_B": recl_B,
+                "iden_A": iden_A, "iden_B": iden_B,
+                "B2Gry": real_b_gray, "A2RGB": real_a_rgb,
+                "loss_G": loss_g, "loss_G_A": loss_g_a, "loss_G_B": loss_g_b,
+                "loss_cycle_A": loss_cycle_a, "loss_cycle_B": loss_cycle_b,
+                "loss_iden_A": loss_iden_a, "loss_iden_B": loss_iden_b,
+            }
+            return loss_g, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.g.params)
+        opt_state = optim.set_lr(state.g.opt_state, lr)
+        updates, opt_state = self.opt_g.update(grads, opt_state, state.g.params)
+        new_g = TrainState(optax.apply_updates(state.g.params, updates),
+                           opt_state, state.g.step + 1)
+        return CycleState(new_g, state.d, state.d_model_state), aux
+
+    # -- D step --------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def d_step(self, state: CycleState, realA, realB, fake_A_pooled,
+               fake_B_pooled, lr):
+        """Discriminator update on pooled fakes (train.py:262-290, 336-340)."""
+
+        def loss_fn(dp, dstate):
+            new_state = {}
+
+            def d_losses(net, p, st, real, fake):
+                pred_real, st1 = net.apply(p, real, state=st, train=True)
+                l_real = losses.gan_loss(pred_real, True, self.gan_mode)
+                pred_fake, st2 = net.apply(p, jax.lax.stop_gradient(fake),
+                                           state=st1, train=True)
+                l_fake = losses.gan_loss(pred_fake, False, self.gan_mode)
+                return (l_real + l_fake) * 0.5, st2
+
+            loss_d_a, new_state["D_A"] = d_losses(
+                self.netD_A, dp["D_A"], dstate["D_A"], realB, fake_B_pooled)
+            loss_d_b, new_state["D_B"] = d_losses(
+                self.netD_B, dp["D_B"], dstate["D_B"], realA, fake_A_pooled)
+            return loss_d_a + loss_d_b, (loss_d_a, loss_d_b, new_state)
+
+        (_, (l_da, l_db, d_mstate)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.d.params, state.d_model_state)
+        opt_state = optim.set_lr(state.d.opt_state, lr)
+        updates, opt_state = self.opt_d.update(grads, opt_state, state.d.params)
+        new_d = TrainState(optax.apply_updates(state.d.params, updates),
+                           opt_state, state.d.step + 1)
+        metrics = {"loss_D_A": l_da, "loss_D_B": l_db}
+        return CycleState(state.g, new_d, d_mstate), metrics
+
+    # -- full iteration (optimize_parameters, train.py:325-340) --------------
+
+    def optimize_parameters(self, state: CycleState, realA, realB, g_lr=None,
+                            d_lr=None):
+        g_lr = self.lr if g_lr is None else g_lr
+        d_lr = self.d_lr if d_lr is None else d_lr
+        state, aux = self.g_step(state, realA, realB, g_lr)
+        fake_A = self.fake_A_pool.query(np.asarray(aux["fake_A"]))
+        fake_B = self.fake_B_pool.query(np.asarray(aux["fake_B"]))
+        state, d_metrics = self.d_step(state, realA, realB,
+                                       jnp.asarray(fake_A), jnp.asarray(fake_B),
+                                       d_lr)
+        aux.update(d_metrics)
+        return state, aux

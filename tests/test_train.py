@@ -1,0 +1,150 @@
+"""Trainer tests: loss decreases, state/checkpoint round-trips, data layer."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srcgan_tpu import data
+from srcgan_tpu.train import (CasTrainer, CycleGANTrainer, checkpoint_name,
+                              load_params, parse_checkpoint_name, save_params)
+from srcgan_tpu.train import optim
+
+
+def make_batch(n=1, size=32, seed=0):
+    rng = np.random.default_rng(seed)
+    tar = rng.uniform(0, 1, (n, size, size, 3)).astype(np.float32)
+    src = (tar @ np.array([0.2125, 0.7154, 0.0721], np.float32))[..., None]
+    return jnp.asarray(src), jnp.asarray(tar)
+
+
+class TestCasTrainer:
+    def test_loss_decreases(self):
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st = tr.init(jax.random.PRNGKey(0))
+        realA, realB = make_batch()
+        first = None
+        for i in range(6):
+            st, m = tr.train_step(st, realA, realB, 1e-3)
+            if first is None:
+                first = (float(m["loss_SR"]), float(m["loss_C"]))
+        assert float(m["loss_SR"]) < first[0]
+        assert float(m["loss_C"]) < first[1]
+
+    @pytest.mark.parametrize("const,lab", [(False, True), (True, False)])
+    def test_variants_run(self, const, lab):
+        tr = CasTrainer(sr_model="SRCNN" if const else "ESPCN",
+                        c_model="ResDeconv", up=2, const=const, lab=lab)
+        st = tr.init(jax.random.PRNGKey(0))
+        realA, realB = make_batch()
+        st, m = tr.train_step(st, realA, realB, 1e-4)
+        assert all(np.isfinite(float(v)) for v in m.values())
+        imgs = tr.snapshot(st, realA, realB)
+        # LAB colorizer predicts ab only (trainCasLAB.py:31)
+        assert imgs["fake_BB"].shape[-1] == (2 if lab else 3)
+        # const pipelines keep full resolution through the cascade
+        if const:
+            assert imgs["real_BA"].shape == imgs["real_BC"].shape
+            assert imgs["fake_AC"].shape[1] == realA.shape[1]
+
+    def test_transfer_shapes(self):
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st = tr.init(jax.random.PRNGKey(0))
+        realA, realB = make_batch()
+        real_A_in, fake_AC, fake_AB = tr.transfer(st, realA)
+        assert real_A_in.shape == (1, 16, 16, 1)
+        assert fake_AC.shape == (1, 32, 32, 1)
+        assert fake_AB.shape == (1, 32, 32, 3)
+
+
+class TestCycleGAN:
+    def test_srdens_iteration(self):
+        tr = CycleGANTrainer(net="SRdens", mode="x2")
+        st = tr.init(jax.random.PRNGKey(0))
+        realA, realB = make_batch(n=1, size=32)
+        realA_lr = jnp.asarray(np.asarray(realA)[:, ::2, ::2, :])
+        st, aux = tr.optimize_parameters(st, realA_lr, realB)
+        for k in ["loss_G", "loss_D_A", "loss_D_B", "loss_cycle_A"]:
+            assert np.isfinite(float(aux[k])), k
+        assert aux["fake_B"].shape == realB.shape
+        assert aux["fake_A"].shape == realA_lr.shape
+
+    def test_net1_rddb_pair(self):
+        tr = CycleGANTrainer(net="1", mode="x2")
+        st = tr.init(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(0)
+        realB = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        realA = jnp.asarray(np.asarray(realB)[:, ::2, ::2, :])
+        st, aux = tr.optimize_parameters(st, realA, realB)
+        assert aux["recl_A"].shape == realA.shape
+        assert aux["recl_B"].shape == realB.shape
+
+    def test_image_pool_semantics(self):
+        from srcgan_tpu.train import ImagePool
+        pool = ImagePool(2, seed=0)
+        imgs = np.arange(8, dtype=np.float32).reshape(2, 1, 2, 2) / 8
+        out1 = pool.query(imgs)
+        np.testing.assert_array_equal(out1, imgs)  # fills buffer first
+        out2 = pool.query(imgs + 1)
+        assert out2.shape == imgs.shape
+
+
+class TestOptim:
+    def test_reference_cosine_compounds(self):
+        lr0 = optim.reference_lr("cosine", 1e-4, 50, 1)
+        lr50 = optim.reference_lr("cosine", 1e-4, 50, 50)
+        assert lr0 < 1e-4
+        assert 0.94e-4 < lr50 < 0.96e-4  # ~0.952x after 50 epochs
+
+    def test_step_policy_constant(self):
+        assert optim.reference_lr("step", 1e-4, 50, 30) == 1e-4
+
+
+class TestStateIO:
+    def test_checkpoint_name_roundtrip(self):
+        name = checkpoint_name("RDDBNet", "A2C", 2, 50)
+        assert name == "RDDBNet_A2C_x2_0050.npz"
+        d = parse_checkpoint_name(name)
+        assert d == {"model": "RDDBNet", "ver": "G2RGB", "role": "A2C",
+                     "up": 2, "epoch": 50}
+        lab = checkpoint_name("ESPCN", "C2B", 4, 25, ver="G2LAB")
+        assert parse_checkpoint_name(lab)["ver"] == "G2LAB"
+
+    def test_params_roundtrip(self, tmp_path):
+        from srcgan_tpu import models
+        m = models.ESPCN(1, 3, 2)
+        p = m.init(jax.random.PRNGKey(0))
+        path = str(tmp_path / "m.npz")
+        save_params(path, p)
+        p2 = load_params(path, like=p)
+        for a, b in zip(jax.tree_util.tree_leaves(p),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestData:
+    def test_synthetic_dataset_and_loader(self, tmp_path):
+        root = data.make_synthetic_dataset(str(tmp_path / "SynthSat"), size=32)
+        ds = data.G2RGB("SynthSat", "train", data_dir=str(tmp_path))
+        assert len(ds) == 8
+        sample = ds[0]
+        assert sample["src"].shape == (32, 32, 1)
+        assert sample["tar"].shape == (32, 32, 3)
+        assert 0.0 <= sample["tar"].min() and sample["tar"].max() <= 1.0
+        got = list(data.batches(ds, 4, shuffle=True, seed=1))
+        assert got[0][0].shape == (4, 32, 32, 3) and got[0][0].dtype == np.uint8
+
+    def test_g2lab_targets(self, tmp_path):
+        data.make_synthetic_dataset(str(tmp_path / "SynthSat"), size=32)
+        ds = data.G2LAB("SynthSat", "val", data_dir=str(tmp_path))
+        s = ds[0]
+        # normalized LAB: all channels in [0,1]
+        assert s["tar"].min() >= 0.0 and s["tar"].max() <= 1.0
+
+    def test_preview_png(self, tmp_path):
+        data.make_synthetic_dataset(str(tmp_path / "SynthSat"), size=32)
+        ds = data.G2RGB("SynthSat", "test", data_dir=str(tmp_path))
+        out = ds.show(0, example_dir=str(tmp_path / "example"))
+        assert os.path.exists(out)
