@@ -1,0 +1,21 @@
+"""Parallelism: device mesh, sharding rules, data-parallel step wrappers."""
+from srcgan_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_batch_to,
+    put_batch,
+    put_replicated,
+    replicated,
+    spatial_sharding,
+)
+from srcgan_tpu.parallel.dp import (
+    make_cas_dp_step,
+    make_cyclegan_dp_steps,
+    make_spatial_infer,
+)
+
+__all__ = [
+    "batch_sharding", "make_mesh", "pad_batch_to", "put_batch",
+    "put_replicated", "replicated", "spatial_sharding", "make_cas_dp_step",
+    "make_cyclegan_dp_steps", "make_spatial_infer",
+]

@@ -84,13 +84,12 @@ class CasTrainer:
             return preprocess.degrade_const(x, self.up)
         return preprocess.degrade_bilinear(x, self.up)
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: CasState, realA, realB, lr
-                   ) -> Tuple[CasState, Dict[str, jnp.ndarray]]:
-        """One optimization step on a (realA gray, realB target) batch.
+    def grads(self, state: CasState, realA, realB):
+        """Per-shard gradient computation (pure; no update).
 
-        realA: (N,H,W,1) source-domain gray; realB: (N,H,W,3) RGB or norm-LAB.
-        Returns (new_state, metrics { loss_SR, loss_C, psnr_SR, psnr_C }).
+        Returns (grads {sr, c}, model_states {sr, c}, metrics).  Split from
+        the update so the data-parallel wrapper can psum grads across the
+        mesh before applying them (srcgan_tpu.parallel.dp).
         """
         real_BC, tgt_B = self._split_targets(realB)
         real_BA = self._degrade(real_BC)
@@ -109,15 +108,6 @@ class CasTrainer:
         (loss_c, (fake_BB, c_mstate)), g_c = jax.value_and_grad(
             c_loss, has_aux=True)(state.c.params, state.c_model_state)
 
-        def update(ts: TrainState, grads) -> TrainState:
-            opt_state = optim.set_lr(ts.opt_state, lr)
-            updates, opt_state = self.opt.update(grads, opt_state, ts.params)
-            return TrainState(optax.apply_updates(ts.params, updates),
-                              opt_state, ts.step + 1)
-
-        new_state = CasState(update(state.sr, g_sr), update(state.c, g_c),
-                             sr_mstate, c_mstate)
-
         metrics = {
             "loss_SR": loss_sr,
             "loss_C": loss_c,
@@ -125,7 +115,28 @@ class CasTrainer:
             "psnr_SR": losses.psnr(jax.lax.stop_gradient(fake_BC), real_BC),
             "psnr_C": losses.psnr(jax.lax.stop_gradient(fake_BB), tgt_B),
         }
-        return new_state, metrics
+        return {"sr": g_sr, "c": g_c}, {"sr": sr_mstate, "c": c_mstate}, metrics
+
+    def apply_grads(self, state: CasState, grads, model_states, lr) -> CasState:
+        def update(ts: TrainState, g) -> TrainState:
+            opt_state = optim.set_lr(ts.opt_state, lr)
+            updates, opt_state = self.opt.update(g, opt_state, ts.params)
+            return TrainState(optax.apply_updates(ts.params, updates),
+                              opt_state, ts.step + 1)
+
+        return CasState(update(state.sr, grads["sr"]), update(state.c, grads["c"]),
+                        model_states["sr"], model_states["c"])
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: CasState, realA, realB, lr
+                   ) -> Tuple[CasState, Dict[str, jnp.ndarray]]:
+        """One optimization step on a (realA gray, realB target) batch.
+
+        realA: (N,H,W,1) source-domain gray; realB: (N,H,W,3) RGB or norm-LAB.
+        Returns (new_state, metrics { loss_SR, loss_C, psnr_SR, psnr_C }).
+        """
+        grads, mstates, metrics = self.grads(state, realA, realB)
+        return self.apply_grads(state, grads, mstates, lr), metrics
 
     # -- transfer / eval cascade (trainCas.py:103-109, testCas protocol) -----
 

@@ -1,0 +1,115 @@
+"""Multi-device tests on the 8-device CPU fake backend.
+
+Verifies: DP shard_map step equals the single-device step (same grads after
+psum-mean), spatial sharding compiles and matches unsharded output, sharded
+CycleGAN steps run.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srcgan_tpu import models, parallel
+from srcgan_tpu.train import CasTrainer
+
+
+def make_batch(n, size=16, seed=0):
+    rng = np.random.default_rng(seed)
+    tar = rng.uniform(0, 1, (n, size, size, 3)).astype(np.float32)
+    src = (tar @ np.array([0.2125, 0.7154, 0.0721], np.float32))[..., None]
+    return jnp.asarray(src), jnp.asarray(tar)
+
+
+def tree_allclose(a, b, atol=1e-5):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol,
+                                   rtol=1e-4)
+
+
+class TestMesh:
+    def test_make_mesh_all_devices(self):
+        m = parallel.make_mesh()
+        assert m.devices.size == 8
+        m2 = parallel.make_mesh((2, 4), ("data", "space"))
+        assert m2.axis_names == ("data", "space")
+
+    def test_pad_batch(self):
+        b = np.ones((5, 2, 2, 1))
+        p, n = parallel.pad_batch_to(b, 8)
+        assert p.shape[0] == 8 and n == 5
+
+
+class TestCasDP:
+    def test_dp_matches_single_device(self):
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st0 = tr.init(jax.random.PRNGKey(0))
+        realA, realB = make_batch(8)
+
+        # single-device step (copy state first: train_step donates its input)
+        st_copy = jax.tree_util.tree_map(jnp.array, st0)
+        st_single, m_single = tr.train_step(st_copy, realA, realB, 1e-4)
+
+        # 8-way DP step
+        mesh = parallel.make_mesh()
+        step = parallel.make_cas_dp_step(tr, mesh)
+        st_rep = parallel.put_replicated(st0, mesh)
+        a = parallel.put_batch(realA, mesh)
+        b = parallel.put_batch(realB, mesh)
+        st_dp, m_dp = step(st_rep, a, b, 1e-4)
+
+        # L1 losses are exact means-of-means; PSNR is a log of a mean, so the
+        # DP value (mean of per-shard PSNRs) differs at the ~1e-3 level.
+        np.testing.assert_allclose(float(m_single["loss_SR"]),
+                                   float(m_dp["loss_SR"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m_single["loss_C"]),
+                                   float(m_dp["loss_C"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m_single["psnr_SR"]),
+                                   float(m_dp["psnr_SR"]), atol=0.05)
+        # grads agree up to reduction order; Adam's eps-normalization can
+        # amplify ~1e-7 grad noise to ~1e-4 on near-zero grads.
+        tree_allclose(st_single.sr.params, st_dp.sr.params, atol=2e-4)
+        tree_allclose(st_single.c.params, st_dp.c.params, atol=2e-4)
+
+    def test_dp_two_steps_progress(self):
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        mesh = parallel.make_mesh()
+        step = parallel.make_cas_dp_step(tr, mesh)
+        st = parallel.put_replicated(tr.init(jax.random.PRNGKey(1)), mesh)
+        realA, realB = make_batch(8)
+        a, b = parallel.put_batch(realA, mesh), parallel.put_batch(realB, mesh)
+        st, m1 = step(st, a, b, 1e-3)
+        st, m2 = step(st, a, b, 1e-3)
+        assert float(m2["loss_SR"]) < float(m1["loss_SR"])
+
+
+class TestSpatial:
+    def test_spatial_infer_matches(self):
+        mesh = parallel.make_mesh((8,), ("space",))
+        m = models.ESPCN(1, 3, 2)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (1, 64, 16, 1)).astype(np.float32))
+        ref = m.fwd(p, x)
+        infer = parallel.make_spatial_infer(m, mesh)
+        got = infer(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5,
+                                   rtol=1e-4)
+
+
+class TestCycleGANDP:
+    def test_sharded_steps_run(self):
+        from srcgan_tpu.train import CycleGANTrainer
+        tr = CycleGANTrainer(net="SRdens", mode="x2")
+        mesh = parallel.make_mesh()
+        g_step, d_step = parallel.make_cyclegan_dp_steps(tr, mesh)
+        st = parallel.put_replicated(tr.init(jax.random.PRNGKey(0)), mesh)
+        realA, realB = make_batch(8, size=32)
+        realA_lr = jnp.asarray(np.asarray(realA)[:, ::2, ::2, :])
+        st, aux = g_step(st, realA_lr, realB, 1e-4)
+        st, dm = d_step(st, realA_lr, realB, aux["fake_A"], aux["fake_B"], 1e-5)
+        assert np.isfinite(float(aux["loss_G"]))
+        assert np.isfinite(float(dm["loss_D_A"]))
