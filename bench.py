@@ -1,0 +1,163 @@
+"""Benchmark: RDDBNet x4 SR throughput (megapixels/sec/chip) vs torch-CPU.
+
+Protocol (BASELINE.md): output megapixels/sec of the flagship RDDBNet
+(1->1ch, x4, nf=64, nb=3) generator forward — the hot kernel of every
+reference pipeline (SURVEY.md §3.4).  vs_baseline is the ratio against the
+same network implemented in plain PyTorch on CPU (the reference's only
+published execution mode besides a single CUDA GPU); target is >=5x.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+IN_SIZE = 128          # LR input; x4 -> 512x512 output
+BATCH = 8              # per-chip batch for the TPU run
+WARMUP = 2
+ITERS = 10
+TORCH_ITERS = 2
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_torch_baseline.json")
+
+
+def bench_jax() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from srcgan_tpu import config, models
+
+    dev = jax.devices()[0]
+    model = models.RDDBNet(1, 1, 4)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (BATCH, IN_SIZE, IN_SIZE, 1)).astype(np.float32))
+
+    results = {}
+    for mode, precision, dtype in (("fp32", "highest", jnp.float32),
+                                   ("bf16", "default", jnp.bfloat16)):
+        config.set_conv_precision(precision)
+        p = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
+        xx = x.astype(dtype)
+        # Scalar output + forced float() materialization per call: through the
+        # axon relay, block_until_ready does not reliably await device
+        # execution, and transferring the full output would measure tunnel
+        # bandwidth instead of compute.  Distinct inputs defeat result caching.
+        fn = jax.jit(lambda p, v, i: jnp.mean(model.fwd(p, v + i)))
+        float(fn(p, xx, dtype(0)))  # compile + warm
+        for w in range(WARMUP):
+            float(fn(p, xx, dtype(1e-3 * (w + 1))))
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            float(fn(p, xx, dtype(1e-2 * (i + 1))))
+        dt = (time.perf_counter() - t0) / ITERS
+        out_mp = BATCH * (IN_SIZE * 4) ** 2 / 1e6
+        results[mode] = out_mp / dt
+    config.set_conv_precision("highest")
+    results["platform"] = dev.platform
+    return results
+
+
+def torch_rddb_mps() -> float:
+    """Torch-CPU baseline: an equivalent RDDBNet built with torch.nn.
+
+    Cached to disk after first measurement (the torch number is a property of
+    the host CPU, not of our code).
+    """
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            with open(BASELINE_CACHE) as f:
+                return float(json.load(f)["mps"])
+        except Exception:
+            pass
+
+    import torch
+    import torch.nn as tnn
+
+    class RDB5(tnn.Module):
+        def __init__(self, nf=64, gc=32):
+            super().__init__()
+            self.convs = tnn.ModuleList(
+                [tnn.Conv2d(nf + i * gc, gc if i < 4 else nf, 3, 1, 1)
+                 for i in range(5)])
+            self.act = tnn.LeakyReLU(0.2, True)
+
+        def forward(self, x):
+            feats = [x]
+            for i, c in enumerate(self.convs):
+                y = c(torch.cat(feats, 1))
+                if i < 4:
+                    y = self.act(y)
+                    feats.append(y)
+            return y * 0.2 + x
+
+    class RRDB(tnn.Module):
+        def __init__(self, nf=64, gc=32):
+            super().__init__()
+            self.b = tnn.Sequential(RDB5(nf, gc), RDB5(nf, gc), RDB5(nf, gc))
+
+        def forward(self, x):
+            return self.b(x) * 0.2 + x
+
+    class TorchRDDB(tnn.Module):
+        def __init__(self, nf=64, nb=3):
+            super().__init__()
+            self.first = tnn.Conv2d(1, nf, 3, 1, 1)
+            self.trunk = tnn.Sequential(*[RRDB(nf) for _ in range(nb)])
+            self.tc = tnn.Conv2d(nf, nf, 3, 1, 1)
+            ups = []
+            for _ in range(2):  # x4 = two x2 deconvs
+                ups += [tnn.ConvTranspose2d(nf, nf, 2, 2, 0, bias=False),
+                        tnn.LeakyReLU(0.2, True)]
+            self.up = tnn.Sequential(*ups)
+            self.last = tnn.Conv2d(nf, 1, 3, 1, 1, bias=False)
+
+        def forward(self, x):
+            fea = self.first(x)
+            fea = fea + self.tc(self.trunk(fea))
+            return self.last(self.up(fea))
+
+    net = TorchRDDB().eval()
+    x = torch.randn(1, 1, IN_SIZE, IN_SIZE)
+    with torch.no_grad():
+        net(x)  # warm
+        t0 = time.perf_counter()
+        for _ in range(TORCH_ITERS):
+            net(x)
+        dt = (time.perf_counter() - t0) / TORCH_ITERS
+    mps = (IN_SIZE * 4) ** 2 / 1e6 / dt
+    try:
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"mps": mps, "in_size": IN_SIZE}, f)
+    except OSError:
+        pass
+    return mps
+
+
+def main():
+    jax_res = bench_jax()
+    torch_mps = torch_rddb_mps()
+    value = jax_res["bf16"] if jax_res["platform"] != "cpu" else jax_res["fp32"]
+    print(json.dumps({
+        "metric": "rddbnet_x4_sr_throughput",
+        "value": round(value, 2),
+        "unit": "MP/s",
+        "vs_baseline": round(value / torch_mps, 2),
+        "detail": {
+            "fp32_mps": round(jax_res["fp32"], 2),
+            "bf16_mps": round(jax_res["bf16"], 2),
+            "torch_cpu_mps": round(torch_mps, 3),
+            "platform": jax_res["platform"],
+            "batch": BATCH, "in_size": IN_SIZE, "scale": 4,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
