@@ -1,0 +1,139 @@
+"""Cascaded pipeline evaluation driver — testCas.py / testCasConst.py /
+testCasLAB.py / testCasConstLAB.py parity.
+
+  python -m srcgan_tpu.cli.test_cas --netGA checkpoints/RDDBNet_A2C_x2_0050.npz \
+                                    --netGB checkpoints/ResDeconv_C2B_x2_0050.npz
+
+Reproduces the reference protocol exactly:
+  - model class + scale parsed from the checkpoint filename (testCas.py:41-53);
+  - degradation replay uses F.interpolate's DEFAULT nearest mode (:75-77) —
+    unlike training, which uses bilinear;
+  - evaluators [MSE, PSNR, AE, SSIM] averaged over the test split (:63, :92);
+  - per-sample PNGs to result/{A,B}_<model>_<x>_<epoch>/ named by datalist
+    entry (:87-88); means appended to result/Performs.csv (:92-103).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="cascaded pipeline evaluation")
+    p.add_argument("--netGA", type=str, required=True)
+    p.add_argument("--netGB", type=str, required=True)
+    p.add_argument("--const", action="store_true",
+                   help="constant-resolution eval (testCasConst)")
+    p.add_argument("--root", type=str, default="Sat2Aerx1")
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--result-dir", type=str, default="./result")
+    p.add_argument("--batch-size", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srcgan_tpu import data, metrics, models
+    from srcgan_tpu.data import preprocess
+    from srcgan_tpu.train.state import load_params, parse_checkpoint_name
+    from srcgan_tpu.utils import vis
+
+    infoA = parse_checkpoint_name(args.netGA)
+    infoB = parse_checkpoint_name(args.netGB)
+    lab = infoA["ver"] == "G2LAB"
+    sf = infoA["up"]
+
+    # build + load models from name-encoded config (testCas.py:52-58)
+    netG_A2C = models.create(infoA["model"], 1, 1, sf)
+    netG_C2B = models.create(infoB["model"], 1, 2 if lab else 3)
+    pA = load_params(args.netGA, like=netG_A2C.init(jax.random.PRNGKey(0)))
+    pB = load_params(args.netGB, like=netG_C2B.init(jax.random.PRNGKey(0)))
+
+    testset = data.FileListDataset(args.root, "test", infoA["ver"],
+                                   args.data_dir)
+
+    tagA = "_".join([infoA["model"], f"x{sf}", f"{infoA['epoch']:04d}"])
+    save_dirA = os.path.join(args.result_dir, "A_" + tagA)
+    save_dirB = os.path.join(args.result_dir, "B_" + tagA)
+    os.makedirs(save_dirA, exist_ok=True)
+    os.makedirs(save_dirB, exist_ok=True)
+
+    evaluators = metrics.default_evaluators()
+
+    @jax.jit
+    def cascade(pA, pB, realA, realB):
+        """Degradation replay + both-domain cascade (testCas.py:71-79)."""
+        if lab:
+            realBC = realB[..., :1]
+        else:
+            realBC = preprocess.luma(realB)
+        if args.const:
+            realBA = preprocess.degrade_const_nearest(realBC, sf)
+            realAA = realA
+        else:
+            realBA = preprocess.degrade_nearest(realBC, sf)
+            realAA = preprocess.degrade_nearest(realA, sf)
+        fake_AC, _ = netG_A2C.apply(pA, realAA, train=False)
+        fake_AB, _ = netG_C2B.apply(pB, fake_AC, train=False)
+        fake_BC, _ = netG_A2C.apply(pA, realBA, train=False)
+        fake_BB, _ = netG_C2B.apply(pB, fake_BC, train=False)
+        return fake_AC, fake_AB, fake_BC, fake_BB
+
+    performs = [[] for _ in evaluators]
+    for idx in range(len(testset)):
+        src_u8, tar_u8 = testset.raw(idx)
+        realA, realB = preprocess.convert_pair(
+            jnp.asarray(src_u8[None]), jnp.asarray(tar_u8[None]), infoA["ver"])
+        fake_AC, fake_AB, fake_BC, fake_BB = cascade(pA, pB, realA, realB)
+
+        if lab:
+            # metrics + save on L (+) ab concat (testCasLAB.py:84-98)
+            pred = jnp.concatenate([fake_BC, fake_BB], axis=-1)
+            tgt = realB
+            outB = vis.tensor2img(np.asarray(pred), "LAB",
+                                  dsize=pred.shape[1:3]).transpose(0, 1, 2)
+            outA = vis.tensor2img(
+                np.asarray(jnp.concatenate([fake_AC, fake_AB], -1)), "LAB",
+                dsize=fake_AB.shape[1:3])
+        else:
+            pred, tgt = fake_BB, realB
+            outB = vis.tensor2image_u8(np.asarray(fake_BB))
+            outA = vis.tensor2image_u8(np.asarray(fake_AB))
+
+        acc = ""
+        for i, ev in enumerate(evaluators):
+            val = np.asarray(ev(pred, tgt)).mean()
+            acc += " {}:{:0.2f};".format(repr(ev), float(val))
+            performs[i].append(float(val))
+        name = testset.datalist[idx]
+        vis.save_png(os.path.join(save_dirA, name), outA)
+        vis.save_png(os.path.join(save_dirB, name), outB)
+        sys.stdout.write("\rGenerated %s (%04d / %04d) >> %s" %
+                         (name, idx, len(testset), acc))
+    sys.stdout.write("\n")
+
+    # Performs.csv append (testCas.py:92-103)
+    import pandas as pd
+
+    row = [[time.strftime("%h_%d"),
+            os.path.basename(args.netGA).rsplit(".", 1)[0]] +
+           [sum(p) / len(p) for p in performs]]
+    df = pd.DataFrame(row, columns=["time", "checkpoint"] +
+                      [repr(e) for e in evaluators])
+    log_path = os.path.join(args.result_dir, "Performs.csv")
+    if os.path.exists(log_path):
+        df = pd.concat([pd.read_csv(log_path), df], ignore_index=True)
+    df.to_csv(log_path, index=False, float_format="%.3f")
+    print(df.tail(1).to_string(index=False))
+    return df
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""CycleGAN eval driver — test.py parity.
+
+  python -m srcgan_tpu.cli.test_cyclegan --netGA checkpoints/netG_A2B_SRtask_x2_0025.npz \
+                                         --netGB checkpoints/netG_B2A_SRtask_x2_0025.npz
+
+Loads the generator pair, picks the Sat2Aerx2/x4 dataset by mode substring in
+the checkpoint name (test.py:72-75), and writes fake_B / fake_A PNGs for every
+test sample (test.py:80-88).  Unlike the reference, the checkpoint paths are
+honoured as given (test.py:57-58 hardcodes them over argparse).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="CycleGAN eval")
+    p.add_argument("--netGA", type=str, required=True)
+    p.add_argument("--netGB", type=str, required=True)
+    p.add_argument("--net", type=str, default="1")
+    p.add_argument("--root", type=str, default=None)
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--result-dir", type=str, default="./result")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srcgan_tpu import data, ops
+    from srcgan_tpu.data import preprocess
+    from srcgan_tpu.train import CycleGANTrainer
+    from srcgan_tpu.train.state import load_params
+    from srcgan_tpu.utils import vis
+
+    base = os.path.basename(args.netGA)
+    mode = "x4" if "x4" in base else "x2"
+    root = args.root or f"Sat2Aer{mode}"
+    trainer = CycleGANTrainer(net=args.net, mode=mode)
+    pA = load_params(args.netGA)
+    pB = load_params(args.netGB)
+
+    testset = data.FileListDataset(root, "test", "G2RGB", args.data_dir)
+    tag = base.rsplit(".", 1)[0]
+    dirA = os.path.join(args.result_dir, "cyc_fakeB_" + tag)
+    dirB = os.path.join(args.result_dir, "cyc_fakeA_" + tag)
+    os.makedirs(dirA, exist_ok=True)
+    os.makedirs(dirB, exist_ok=True)
+
+    @jax.jit
+    def run(realA, realB):
+        fake_B = trainer.netG_A.fwd(pA, realA)
+        fake_A = trainer.netG_B.fwd(pB, realB)
+        return fake_B, fake_A
+
+    for idx in range(len(testset)):
+        src_u8, tar_u8 = testset.raw(idx)
+        srcA, realB = preprocess.convert_pair(
+            jnp.asarray(src_u8[None]), jnp.asarray(tar_u8[None]), "G2RGB")
+        if args.net == "1":
+            realA = ops.interpolate(realB, scale_factor=0.5, mode="nearest")
+        else:
+            realA = srcA
+        fake_B, fake_A = run(realA, realB)
+        name = testset.datalist[idx]
+        vis.save_png(os.path.join(dirA, name),
+                     vis.tensor2image_u8(np.clip(np.asarray(fake_B), 0, 1)))
+        vis.save_png(os.path.join(dirB, name),
+                     vis.tensor2image_u8(np.clip(np.asarray(fake_A), 0, 1)))
+        sys.stdout.write("\rGenerated %s (%04d / %04d)" % (name, idx, len(testset)))
+    sys.stdout.write("\n")
+
+
+if __name__ == "__main__":
+    main()

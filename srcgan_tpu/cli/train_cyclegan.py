@@ -1,0 +1,98 @@
+"""CycleGAN SR training driver — train.py parity.
+
+  python -m srcgan_tpu.cli.train_cyclegan --net 1 --mode x2
+
+net='1' (the reference default, train.py:360): RGB<->RGB cycle where realA is a
+0.5x nearest downsample of the target (train.py:380-382).  net='SRdens' uses
+the SRDenseNet pair; any other value uses the gray<->RGB RDDB pair.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="CycleGAN SR training")
+    p.add_argument("--net", type=str, default="1")
+    p.add_argument("--mode", type=str, default="x2", choices=["x2", "x4"])
+    p.add_argument("--root", type=str, default=None,
+                   help="dataset root (default Sat2Aer<mode>)")
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--num-epochs", type=int, default=25)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--pool-size", type=int, default=4)
+    p.add_argument("--save-every", type=int, default=5)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--checkpoints", type=str, default="./checkpoints")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srcgan_tpu import data, ops
+    from srcgan_tpu.data import preprocess
+    from srcgan_tpu.train import CycleGANTrainer, save_params
+    from srcgan_tpu.utils import Logger
+
+    root = args.root or f"Sat2Aer{args.mode}"
+    trainer = CycleGANTrainer(net=args.net, mode=args.mode, lr=args.lr,
+                              pool_size=args.pool_size,
+                              num_epochs=args.num_epochs)
+    state = trainer.init(jax.random.PRNGKey(args.seed))
+
+    trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)
+    print(f"Starting Training Loop... ({len(trainset)} samples, net={args.net})")
+    logger = Logger(len(trainset), args.num_epochs)
+
+    for epoch in range(1, args.num_epochs + 1):
+        g_lr, d_lr = trainer.lr_at_epoch(epoch)
+        for it, (src_u8, tar_u8, _) in enumerate(
+                data.batches(trainset, args.batch_size, shuffle=True,
+                             seed=args.seed, epoch=epoch)):
+            srcA, realB = preprocess.convert_pair(
+                jnp.asarray(src_u8), jnp.asarray(tar_u8), "G2RGB")
+            if args.net == "1":
+                # realA = 0.5x nearest downsample of the RGB target
+                realA = ops.interpolate(realB, scale_factor=0.5, mode="nearest")
+            else:
+                realA = srcA
+            state, aux = trainer.optimize_parameters(state, realA, realB,
+                                                     g_lr, d_lr)
+            if it % args.log_every == 0:
+                logger.log(
+                    nepoch=epoch, niter=it,
+                    losses={
+                        "loss_G": float(aux["loss_G"]),
+                        "loss_G_identity": float(aux["loss_iden_A"])
+                        + float(aux["loss_iden_B"]),
+                        "loss_G_GAN": float(aux["loss_G_A"])
+                        + float(aux["loss_G_B"]),
+                        "loss_G_cycle": float(aux["loss_cycle_A"])
+                        + float(aux["loss_cycle_B"]),
+                        "loss_D": float(aux["loss_D_A"]) + float(aux["loss_D_B"]),
+                    },
+                    images={k: aux[k] for k in
+                            ("fake_A", "fake_B", "recl_A", "recl_B",
+                             "iden_A", "iden_B", "B2Gry", "A2RGB")})
+        if epoch % args.save_every == 0:
+            os.makedirs(args.checkpoints, exist_ok=True)
+            netGA = os.path.join(args.checkpoints,
+                                 f"netG_A2B_SRtask_{args.mode}_{epoch:04d}.npz")
+            netGB = os.path.join(args.checkpoints,
+                                 f"netG_B2A_SRtask_{args.mode}_{epoch:04d}.npz")
+            save_params(netGA, jax.device_get(state.g.params["G_A"]))
+            save_params(netGB, jax.device_get(state.g.params["G_B"]))
+            print(f"\nsaved {netGA} {netGB}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

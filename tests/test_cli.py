@@ -1,0 +1,93 @@
+"""End-to-end CLI driver tests on synthetic data — the run.sh workflow:
+train -> checkpoints -> test (Performs.csv) -> vis panels."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from srcgan_tpu import data
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    data.make_synthetic_dataset(str(d / "Sat2Aerx1"), n_train=4, n_val=1,
+                                n_test=2, size=32)
+    return str(d)
+
+
+class TestTrainTestVis:
+    def test_full_workflow(self, synth, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cas, test_cas, vis_cas
+
+        train_cas.main([
+            "--SRModel", "ESPCN", "--CModel", "ResDeconv", "--up", "2",
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--num-epochs", "2", "--save-every", "2", "--log-every", "2",
+            "--checkpoints", str(tmp_path / "ckpt"),
+        ])
+        netGA = str(tmp_path / "ckpt" / "ESPCN_A2C_x2_0002.npz")
+        netGB = str(tmp_path / "ckpt" / "ResDeconv_C2B_x2_0002.npz")
+        assert os.path.exists(netGA) and os.path.exists(netGB)
+
+        df = test_cas.main([
+            "--netGA", netGA, "--netGB", netGB,
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--result-dir", str(tmp_path / "result"),
+        ])
+        csv = pd.read_csv(tmp_path / "result" / "Performs.csv")
+        assert list(csv.columns) == ["time", "checkpoint", "MSE", "PSNR",
+                                     "AE", "SSIM"]
+        assert len(csv) == 1
+        assert np.isfinite(csv["PSNR"].iloc[0])
+        # per-sample PNGs for both domains
+        outA = os.listdir(tmp_path / "result" / "A_ESPCN_x2_0002")
+        assert sorted(outA) == ["test-0.png", "test-1.png"]
+
+        # vis: threshold -100 saves everything, +100 saves nothing
+        n = vis_cas.main([
+            "--netGA", netGA, "--netGB", netGB, "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--result-dir", str(tmp_path / "result"),
+            "--threshold", "-100"])
+        assert n == 2
+        n = vis_cas.main([
+            "--netGA", netGA, "--netGB", netGB, "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--result-dir", str(tmp_path / "result"),
+            "--threshold", "100"])
+        assert n == 0
+
+    def test_lab_workflow(self, synth, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cas, test_cas
+
+        train_cas.main([
+            "--SRModel", "ESPCN", "--CModel", "ResDeconv", "--up", "2",
+            "--lab", "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--num-epochs", "1", "--save-every", "1", "--log-every", "100",
+            "--checkpoints", str(tmp_path / "ckpt"),
+        ])
+        netGA = str(tmp_path / "ckpt" / "ESPCN@G2LAB_A2C_x2_0001.npz")
+        netGB = str(tmp_path / "ckpt" / "ResDeconv@G2LAB_C2B_x2_0001.npz")
+        assert os.path.exists(netGA)
+        test_cas.main([
+            "--netGA", netGA, "--netGB", netGB,
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--result-dir", str(tmp_path / "result_lab"),
+        ])
+        assert os.path.exists(tmp_path / "result_lab" / "Performs.csv")
+
+
+class TestCycleGANDriver:
+    def test_short_training(self, synth, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cyclegan
+
+        train_cyclegan.main([
+            "--net", "SRdens", "--mode", "x2", "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--num-epochs", "1", "--save-every", "1",
+            "--log-every", "100", "--checkpoints", str(tmp_path / "ckpt_cyc"),
+        ])
+        assert os.path.exists(tmp_path / "ckpt_cyc" /
+                              "netG_A2B_SRtask_x2_0001.npz")
