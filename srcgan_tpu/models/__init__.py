@@ -27,6 +27,19 @@ from srcgan_tpu.models.legacy import (
     SRDenseNetA,
     SRDenseNetB,
 )
+from srcgan_tpu.models.edsr_zoo import (
+    DDBPN,
+    MDSR,
+    RCAN,
+    RDN,
+    VDSR,
+    args_namespace,
+)
+from srcgan_tpu.models.pix2pix import (
+    ResnetGenerator,
+    UnetGenerator,
+    define_G,
+)
 
 # The reference package's public export list (model/__init__.py:1-6).
 EXPORTED = ("ESPCN", "SRCNN", "EDSR", "RDDBNet", "SRDN", "ResDeconv")
@@ -44,6 +57,13 @@ REGISTRY: Dict[str, type] = {
     "RDDBNetD": RDDBNetD,
     "SRDenseNetA": SRDenseNetA,
     "SRDenseNetB": SRDenseNetB,
+    "VDSR": VDSR,
+    "MDSR": MDSR,
+    "RDN": RDN,
+    "RCAN": RCAN,
+    "DDBPN": DDBPN,
+    "ResnetGenerator": ResnetGenerator,
+    "UnetGenerator": UnetGenerator,
 }
 
 
@@ -60,4 +80,5 @@ def create(name: str, *args, **kwargs):
     return cls(*args, **kwargs)
 
 
-__all__ = list(REGISTRY) + ["REGISTRY", "EXPORTED", "create", "register"]
+__all__ = list(REGISTRY) + ["REGISTRY", "EXPORTED", "create", "register",
+           "args_namespace", "define_G"]

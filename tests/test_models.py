@@ -18,20 +18,16 @@ import jax.numpy as jnp
 
 from srcgan_tpu import models
 
-REF = "/root/reference/src/model"
-HAS_REF = os.path.isdir(REF)
+from tests.ref_import import HAS_REF, ref_module
 
 if HAS_REF:
-    sys.path.insert(0, REF)
-    import importlib
-
-    ref_rddb = importlib.import_module("rddb")
-    ref_srdn = importlib.import_module("srdn")
-    ref_espcn = importlib.import_module("espcn")
-    ref_srcnn = importlib.import_module("srcnn")
-    ref_edsr = importlib.import_module("edsr")
-    ref_resdeconv = importlib.import_module("resdeconv")
-    ref_legacy = importlib.import_module("model")
+    ref_rddb = ref_module("model.rddb")
+    ref_srdn = ref_module("model.srdn")
+    ref_espcn = ref_module("model.espcn")
+    ref_srcnn = ref_module("model.srcnn")
+    ref_edsr = ref_module("model.edsr")
+    ref_resdeconv = ref_module("model.resdeconv")
+    ref_legacy = ref_module("model.model")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,146 @@
+"""Extended-zoo parity tests (VDSR/MDSR/RDN/RCAN/DDBPN + pix2pix generators)
+vs the torch reference, using the ordered weight-transfer harness."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from srcgan_tpu import models
+from srcgan_tpu.models import edsr_zoo
+
+from tests.ref_import import HAS_REF, ref_module
+from tests.test_models import check_parity, rand, torch_leaves, jax_leaf_slots
+
+if HAS_REF:
+    ref_vdsr = ref_module("model.vdsr")
+    ref_mdsr = ref_module("model.mdsr")
+    ref_rdn = ref_module("model.rdn")
+    ref_rcan = ref_module("model.rcan")
+    ref_ddbpn = ref_module("model.ddbpn")
+    ref_basic = ref_module("model.basicModel")
+    ref_common = ref_module("model.common")
+
+
+def patched_torch_leaves(model):
+    """torch_leaves + PReLU support and MeanShift (frozen) skipping."""
+    out = []
+    for mod in model.modules():
+        if type(mod).__name__ == "MeanShift":
+            continue  # frozen constants — hyperparams on the jax side
+        if isinstance(mod, torch.nn.Conv2d):
+            out.append(mod.weight.detach().numpy().transpose(2, 3, 1, 0))
+            if mod.bias is not None:
+                out.append(mod.bias.detach().numpy())
+        elif isinstance(mod, torch.nn.ConvTranspose2d):
+            out.append(mod.weight.detach().numpy().transpose(2, 3, 0, 1))
+            if mod.bias is not None:
+                out.append(mod.bias.detach().numpy())
+        elif isinstance(mod, (torch.nn.GroupNorm, torch.nn.BatchNorm2d)):
+            out.append(mod.weight.detach().numpy())
+            out.append(mod.bias.detach().numpy())
+        elif isinstance(mod, torch.nn.PReLU):
+            out.append(mod.weight.detach().numpy())
+    return out
+
+
+def check_parity_zoo(torch_model, jax_model, x_np, atol=1e-3, train=False):
+    if train:
+        torch_model.train()
+    else:
+        torch_model.eval()
+    params = jax_model.init(jax.random.PRNGKey(0))
+    leaves = patched_torch_leaves(torch_model)
+    slots = jax_leaf_slots(params)
+    assert len(leaves) == len(slots), (
+        f"param count mismatch: torch {len(leaves)} vs jax {len(slots)}")
+    for (container, key), arr in zip(slots, leaves):
+        assert container[key].shape == arr.shape, (
+            f"{key}: {container[key].shape} vs {arr.shape}")
+        container[key] = jnp.asarray(arr)
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(
+            np.ascontiguousarray(x_np.transpose(0, 3, 1, 2))))
+    got, _ = jax_model.apply(params, jnp.asarray(x_np), train=train)
+    ref_nhwc = ref.detach().numpy().transpose(0, 2, 3, 1)
+    assert got.shape == ref_nhwc.shape
+    np.testing.assert_allclose(np.asarray(got), ref_nhwc, atol=atol, rtol=1e-3)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+class TestEDSRZoo:
+    def test_vdsr(self):
+        a = edsr_zoo.args_namespace(n_resblocks=20, n_feats=64, rgb_range=1)
+        t = ref_vdsr.VDSR(a)
+        j = models.VDSR(a)
+        check_parity_zoo(t, j, rand(1, 8, 8, 3))
+
+    def test_mdsr(self):
+        a = edsr_zoo.args_namespace(n_resblocks=16, n_feats=64, scale=[2],
+                                    rgb_range=1)
+        t = ref_mdsr.MDSR(a)
+        j = models.MDSR(a)
+        check_parity_zoo(t, j, rand(1, 8, 8, 3))
+
+    def test_rdn_config_a(self):
+        a = edsr_zoo.args_namespace(G0=16, RDNconfig="A", scale=[2], rgb_range=1)
+        t = ref_rdn.RDN(a)
+        j = models.RDN(a)
+        check_parity_zoo(t, j, rand(1, 8, 8, 3))
+
+    def test_rdn_x4(self):
+        a = edsr_zoo.args_namespace(G0=16, RDNconfig="A", scale=[4], rgb_range=1)
+        t = ref_rdn.RDN(a)
+        j = models.RDN(a)
+        check_parity_zoo(t, j, rand(1, 8, 8, 3))
+
+    def test_rcan(self):
+        a = edsr_zoo.args_namespace(n_resgroups=2, n_resblocks=2, n_feats=16,
+                                    reduction=4, scale=[2], rgb_range=1)
+        t = ref_rcan.RCAN(a)
+        j = models.RCAN(a)
+        check_parity_zoo(t, j, rand(1, 8, 8, 3))
+
+    def test_ddbpn(self):
+        a = edsr_zoo.args_namespace(scale=[2], rgb_range=1)
+        t = ref_ddbpn.DDBPN(a)
+        j = models.DDBPN(a)
+        check_parity_zoo(t, j, rand(1, 8, 8, 3))
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+class TestPix2Pix:
+    def test_resnet_generator_instance_norm(self):
+        t = ref_basic.ResnetGenerator(1, 3, ngf=16, n_blocks=2,
+                                      norm_layer=torch.nn.InstanceNorm2d)
+        j = models.ResnetGenerator(1, 3, ngf=16, n_blocks=2, norm="instance")
+        check_parity_zoo(t, j, rand(1, 16, 16, 1))
+
+    def test_unet_generator_instance_norm(self):
+        t = ref_basic.UnetGenerator(1, 3, 5, ngf=8,
+                                    norm_layer=torch.nn.InstanceNorm2d)
+        j = models.UnetGenerator(1, 3, 5, ngf=8, norm="instance")
+        check_parity_zoo(t, j, rand(1, 32, 32, 1))
+
+    def test_define_g_names(self):
+        for name in ["resnet_9blocks", "resnet_6blocks", "unet_128", "unet_256"]:
+            m = models.define_G(1, 3, 8, name, norm="instance")
+            assert m is not None
+        with pytest.raises(NotImplementedError):
+            models.define_G(1, 3, 8, "nope")
+
+
+class TestZooShapes:
+    """Standalone shape checks (no reference needed)."""
+
+    def test_rdn_shapes(self):
+        m = models.RDN(edsr_zoo.args_namespace(G0=8, RDNconfig="A", scale=[2]))
+        p = m.init(jax.random.PRNGKey(0))
+        assert m.fwd(p, jnp.zeros((1, 8, 8, 3))).shape == (1, 16, 16, 3)
+
+    def test_unet_256_shape(self):
+        m = models.UnetGenerator(1, 3, 8, ngf=4, norm="instance")
+        p = m.init(jax.random.PRNGKey(0))
+        y, _ = m.apply(p, jnp.zeros((1, 256, 256, 1)))
+        assert y.shape == (1, 256, 256, 3)
