@@ -1,0 +1,176 @@
+"""PyTorch checkpoint interop: load reference .pth state_dicts into our models.
+
+A user of the reference framework can bring their trained ``torch.save(
+net.state_dict())`` checkpoints (trainCas.py:221-225 naming) straight into the
+TPU framework:
+
+    model = models.create("RDDBNet", 1, 1, 2)
+    params, state = interop.import_torch_state_dict(model, "RDDBNet_A2C_x2_0050.pth")
+
+Mechanism: torch state_dicts preserve module-registration order, and every
+model in this zoo was constructed so that our params-pytree insertion order
+matches it (verified leaf-by-leaf by the parity test suite).  Tensors are
+consumed in order with layout conversion per leaf kind:
+  Conv2d           OIHW -> HWIO
+  ConvTranspose2d  (in,out,kh,kw) -> HWIO
+  Group/BatchNorm  weight/bias -> scale/bias; BN running stats -> model state
+  PReLU            weight -> alpha
+  MeanShift        frozen constants -> skipped (2 tensors consumed)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from srcgan_tpu import nn
+
+
+def _load_state_dict(path_or_dict):
+    if isinstance(path_or_dict, (dict,)):
+        items = list(path_or_dict.items())
+    else:
+        import torch
+
+        sd = torch.load(path_or_dict, map_location="cpu", weights_only=True)
+        items = list(sd.items())
+    out = []
+    for k, v in items:
+        if k.endswith("num_batches_tracked"):
+            continue
+        out.append((k, np.asarray(v.numpy() if hasattr(v, "numpy") else v)))
+    return out
+
+
+def _slots_in_order(params) -> List[Tuple[dict, str]]:
+    slots = []
+
+    def walk(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                walk(v)
+            else:
+                slots.append((d, k))
+
+    walk(params)
+    return slots
+
+
+def _state_slots_in_order(state) -> List[Tuple[dict, str]]:
+    return _slots_in_order(state)
+
+
+def import_torch_state_dict(model: nn.Module, path_or_dict, key=None
+                            ) -> Tuple[Any, Any]:
+    """Returns (params, model_state) with tensors from the torch checkpoint."""
+    import jax
+
+    params = model.init(key if key is not None else jax.random.PRNGKey(0))
+    state = model.init_state()
+    tensors = _load_state_dict(path_or_dict)
+    ti = 0
+
+    def take(expect_suffix: str):
+        nonlocal ti
+        if ti >= len(tensors):
+            raise ValueError("torch checkpoint has fewer tensors than the model")
+        k, v = tensors[ti]
+        if not k.endswith(expect_suffix):
+            raise ValueError(f"expected a '{expect_suffix}' tensor at position "
+                             f"{ti}, found {k!r}")
+        ti += 1
+        return v
+
+    pslots = _slots_in_order(params)
+    sslots = _state_slots_in_order(state)
+    pi, si = 0, 0
+
+    def put_param(arr):
+        nonlocal pi
+        d, k = pslots[pi]
+        if d[k].shape != arr.shape:
+            raise ValueError(f"shape mismatch at slot {pi} ({k}): "
+                             f"{d[k].shape} vs {arr.shape}")
+        d[k] = jnp.asarray(arr)
+        pi += 1
+
+    def put_state(arr):
+        nonlocal si
+        d, k = sslots[si]
+        d[k] = jnp.asarray(arr)
+        si += 1
+
+    from srcgan_tpu.models.edsr_zoo import MeanShift, PReLU
+
+    for leaf in nn.iter_leaf_modules(model):
+        if isinstance(leaf, MeanShift):
+            take("weight")
+            take("bias")
+        elif isinstance(leaf, nn.Conv2d):
+            put_param(take("weight").transpose(2, 3, 1, 0))
+            if leaf.use_bias:
+                put_param(take("bias"))
+        elif isinstance(leaf, nn.ConvTranspose2d):
+            put_param(take("weight").transpose(2, 3, 0, 1))
+            if leaf.use_bias:
+                put_param(take("bias"))
+        elif isinstance(leaf, nn.GroupNorm):
+            put_param(take("weight"))
+            put_param(take("bias"))
+        elif isinstance(leaf, nn.BatchNorm2d):
+            put_param(take("weight"))
+            put_param(take("bias"))
+            put_state(take("running_mean"))
+            put_state(take("running_var"))
+        elif isinstance(leaf, nn.InstanceNorm2d):
+            if leaf.affine:
+                put_param(take("weight"))
+                put_param(take("bias"))
+        elif isinstance(leaf, PReLU):
+            put_param(take("weight"))
+        else:
+            raise TypeError(f"unhandled leaf module {type(leaf).__name__}")
+
+    if ti != len(tensors):
+        raise ValueError(f"torch checkpoint has {len(tensors) - ti} unconsumed "
+                         f"tensors (first: {tensors[ti][0]!r})")
+    if pi != len(pslots):
+        raise ValueError(f"{len(pslots) - pi} model params were not filled")
+    return params, state
+
+
+def export_torch_state_dict(model: nn.Module, params, state=None
+                            ) -> Dict[str, np.ndarray]:
+    """Inverse: our params -> an ordered dict of torch-layout arrays.
+
+    Keys are synthetic (slot-indexed) — sufficient for round-tripping into
+    tools that match by order; not a drop-in torch state_dict key map.
+    """
+    out: Dict[str, np.ndarray] = {}
+    pslots = _slots_in_order(params)
+    pi = 0
+
+    def grab():
+        nonlocal pi
+        d, k = pslots[pi]
+        pi += 1
+        return np.asarray(d[k])
+
+    for li, leaf in enumerate(nn.iter_leaf_modules(model)):
+        tag = f"{li}.{type(leaf).__name__}"
+        if isinstance(leaf, nn.Conv2d):
+            out[f"{tag}.weight"] = grab().transpose(3, 2, 0, 1)
+            if leaf.use_bias:
+                out[f"{tag}.bias"] = grab()
+        elif isinstance(leaf, nn.ConvTranspose2d):
+            out[f"{tag}.weight"] = grab().transpose(2, 3, 0, 1)
+            if leaf.use_bias:
+                out[f"{tag}.bias"] = grab()
+        elif isinstance(leaf, (nn.GroupNorm, nn.BatchNorm2d)):
+            out[f"{tag}.weight"] = grab()
+            out[f"{tag}.bias"] = grab()
+        elif isinstance(leaf, nn.InstanceNorm2d) and leaf.affine:
+            out[f"{tag}.weight"] = grab()
+            out[f"{tag}.bias"] = grab()
+    return out

@@ -38,7 +38,10 @@ class MeanShift(nn.Module):
 
     Parameters are frozen constants in the reference (requires_grad=False), so
     here they are hyperparameters — not part of the param pytree at all.
+    (_torch_leaf marks it as consuming two state_dict tensors on import.)
     """
+
+    _torch_leaf = True
 
     def __init__(self, rgb_range, rgb_mean=(0.4488, 0.4371, 0.4040),
                  rgb_std=(1.0, 1.0, 1.0), sign=-1):
@@ -295,8 +298,6 @@ class RCAN(nn.Module):
 
     def __init__(self, args: Optional[SimpleNamespace] = None, **kw):
         a = args or args_namespace(**kw)
-        self.sub_mean = MeanShift(a.rgb_range)
-        self.add_mean = MeanShift(a.rgb_range, sign=1)
 
         def group():
             layers = [RCAB(a.n_feats, 3, a.reduction)
@@ -304,12 +305,16 @@ class RCAN(nn.Module):
             layers.append(_conv(a.n_feats, a.n_feats, 3))
             return _ResGroup(nn.Sequential(*layers))
 
+        # ordered to match torch registration (rcan.py: sub_mean :82,
+        # head/body/tail, add_mean :100) for checkpoint interop
         self.mods = nn.named({
+            "sub_mean": MeanShift(a.rgb_range),
             "head": _conv(a.n_colors, a.n_feats, 3),
             "body": nn.Sequential(*[group() for _ in range(a.n_resgroups)],
                                   _conv(a.n_feats, a.n_feats, 3)),
             "tail": nn.Sequential(Upsampler(a.scale[0], a.n_feats),
                                   _conv(a.n_feats, a.n_colors, 3)),
+            "add_mean": MeanShift(a.rgb_range, sign=1),
         })
 
     def init(self, key):
@@ -317,11 +322,11 @@ class RCAN(nn.Module):
 
     def forward(self, p, x, train):
         m = self.mods.layers
-        x = self.sub_mean.fwd({}, x)
+        x = m["sub_mean"].fwd({}, x)
         x = m["head"].fwd(p["head"], x)
         res = m["body"].fwd(p["body"], x, train) + x
         x = m["tail"].fwd(p["tail"], res, train)
-        return self.add_mean.fwd({}, x)
+        return m["add_mean"].fwd({}, x)
 
 
 class _ResGroup(nn.Module):
@@ -392,9 +397,10 @@ class DDBPN(nn.Module):
         n0, nr = 128, 32
         self.depth = 6
         rgb_mean = (0.4488, 0.4371, 0.4040)
-        self.sub_mean = MeanShift(a.rgb_range, rgb_mean)
-        self.add_mean = MeanShift(a.rgb_range, rgb_mean, sign=1)
+        # ordered to match torch registration (ddbpn.py: sub_mean :79,
+        # initial/up/down/reconstruction, add_mean :110)
         mods = {
+            "sub_mean": MeanShift(a.rgb_range, rgb_mean),
             "init_conv1": nn.Conv2d(a.n_colors, n0, 3, 1, 1, weight_init="torch"),
             "init_act1": PReLU(n0),
             "init_conv2": nn.Conv2d(n0, nr, 1, 1, 0, weight_init="torch"),
@@ -411,6 +417,7 @@ class DDBPN(nn.Module):
             ch += nr
         mods["reconstruction"] = nn.Conv2d(self.depth * nr, a.n_colors, 3, 1, 1,
                                            weight_init="torch")
+        mods["add_mean"] = MeanShift(a.rgb_range, rgb_mean, sign=1)
         self.mods = nn.named(mods)
 
     def init(self, key):
@@ -418,7 +425,7 @@ class DDBPN(nn.Module):
 
     def forward(self, p, x, train):
         m = self.mods.layers
-        x = self.sub_mean.fwd({}, x)
+        x = m["sub_mean"].fwd({}, x)
         x = m["init_act1"].fwd(p["init_act1"],
                                m["init_conv1"].fwd(p["init_conv1"], x))
         x = m["init_act2"].fwd(p["init_act2"],
@@ -433,4 +440,4 @@ class DDBPN(nn.Module):
             p[f"up{self.depth - 1}"], jnp.concatenate(l_list, -1), train))
         out = m["reconstruction"].fwd(p["reconstruction"],
                                       jnp.concatenate(h_list, -1))
-        return self.add_mean.fwd({}, out)
+        return m["add_mean"].fwd({}, out)

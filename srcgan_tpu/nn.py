@@ -308,3 +308,39 @@ class NamedModules(Module):
 
 def param_count(params: Params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+LEAF_TYPES = (Conv2d, ConvTranspose2d, GroupNorm, InstanceNorm2d, BatchNorm2d)
+
+
+def iter_leaf_modules(mod: Module):
+    """Yield parameterized leaf modules in init/registration order.
+
+    Mirrors torch's module-registration order for every model in this zoo
+    (construction order == assignment order == params-dict insertion order),
+    which is what makes ordered torch checkpoint import possible
+    (srcgan_tpu.interop).
+    """
+    if isinstance(mod, LEAF_TYPES):
+        yield mod
+        return
+    if isinstance(mod, Sequential):
+        for l in mod.layers:
+            yield from iter_leaf_modules(l)
+        return
+    if isinstance(mod, NamedModules):
+        for l in mod.layers.values():
+            yield from iter_leaf_modules(l)
+        return
+    if isinstance(mod, Module):
+        has_sub = any(isinstance(v, Module) for v in mod.__dict__.values())
+        is_custom_leaf = (type(mod).init is not Module.init
+                          or getattr(mod, "_torch_leaf", False))
+        if is_custom_leaf and not has_sub:
+            # custom leaf: own init() (e.g. PReLU) or marked as consuming
+            # torch state_dict tensors despite holding none (e.g. MeanShift)
+            yield mod
+            return
+        for v in mod.__dict__.values():
+            if isinstance(v, Module):
+                yield from iter_leaf_modules(v)

@@ -1,0 +1,83 @@
+"""Torch checkpoint import tests: reference .pth state_dicts -> our params."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from srcgan_tpu import interop, models
+from srcgan_tpu.models import edsr_zoo
+
+from tests.ref_import import HAS_REF, ref_module
+
+
+def nchw(a):
+    return torch.from_numpy(np.ascontiguousarray(a.transpose(0, 3, 1, 2)))
+
+
+def nhwc(t):
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+RNG = np.random.default_rng(3)
+
+
+def rand(*shape):
+    return RNG.standard_normal(shape).astype(np.float32)
+
+
+def roundtrip(torch_model, jax_model, x, train=False, atol=5e-4):
+    sd = torch_model.state_dict()
+    params, state = interop.import_torch_state_dict(jax_model, sd)
+    torch_model.train() if train else torch_model.eval()
+    with torch.no_grad():
+        ref = torch_model(nchw(x))
+    got, _ = jax_model.apply(params, jnp.asarray(x), state=state, train=train)
+    np.testing.assert_allclose(np.asarray(got), nhwc(ref), atol=atol, rtol=1e-3)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+class TestImport:
+    def test_rddbnet_pth_file(self, tmp_path):
+        ref = ref_module("model.rddb")
+        t = ref.RDDBNet(1, 1, 2, nf=32, nb=1)
+        path = str(tmp_path / "RDDBNet_A2C_x2_0050.pth")
+        torch.save(t.state_dict(), path)
+        j = models.RDDBNet(1, 1, 2, nf=32, nb=1)
+        params, state = interop.import_torch_state_dict(j, path)
+        t.eval()
+        x = rand(1, 8, 8, 1)
+        with torch.no_grad():
+            expect = t(nchw(x))
+        got = j.fwd(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), nhwc(expect), atol=5e-4,
+                                   rtol=1e-3)
+
+    def test_resdeconv(self):
+        ref = ref_module("model.resdeconv")
+        roundtrip(ref.ResDeconv(src_ch=1, tar_ch=3), models.ResDeconv(1, 3),
+                  rand(1, 32, 32, 1), atol=1e-3)
+
+    def test_discriminator_with_bn_state(self):
+        ref = ref_module("model.model")
+        t = ref.NLayerDiscriminator(3, 16, 2)
+        # run a few torch forwards in train mode to move the running stats
+        t.train()
+        for _ in range(3):
+            t(nchw(rand(2, 16, 16, 3)))
+        j = models.NLayerDiscriminator(3, 16, 2)
+        # eval-mode comparison exercises the imported running stats
+        roundtrip(t, j, rand(2, 16, 16, 3), train=False)
+
+    def test_ddbpn_with_prelu_and_meanshift(self):
+        ref = ref_module("model.ddbpn")
+        a = edsr_zoo.args_namespace(scale=[2], rgb_range=1)
+        roundtrip(ref.DDBPN(a), models.DDBPN(a), rand(1, 8, 8, 3), atol=1e-3)
+
+    def test_mismatch_raises(self):
+        ref = ref_module("model.rddb")
+        t = ref.RDDBNet(1, 1, 2, nf=32, nb=1)
+        j = models.RDDBNet(1, 1, 2, nf=32, nb=2)  # wrong depth
+        with pytest.raises(ValueError):
+            interop.import_torch_state_dict(j, t.state_dict())
