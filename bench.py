@@ -45,20 +45,34 @@ def bench_jax() -> dict:
         config.set_conv_precision(precision)
         p = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
         xx = x.astype(dtype)
-        # Scalar output + forced float() materialization per call: through the
-        # axon relay, block_until_ready does not reliably await device
-        # execution, and transferring the full output would measure tunnel
-        # bandwidth instead of compute.  Distinct inputs defeat result caching.
-        fn = jax.jit(lambda p, v, i: jnp.mean(model.fwd(p, v + i)))
-        float(fn(p, xx, dtype(0)))  # compile + warm
-        for w in range(WARMUP):
-            float(fn(p, xx, dtype(1e-3 * (w + 1))))
-        t0 = time.perf_counter()
-        for i in range(ITERS):
-            float(fn(p, xx, dtype(1e-2 * (i + 1))))
-        dt = (time.perf_counter() - t0) / ITERS
+
+        # Measurement method: time a dependency-chained scan of K forwards
+        # inside one jit call and take the slope between K=1 and K=CHAIN.
+        # This isolates steady-state device throughput from the axon relay's
+        # ~30 ms per-call dispatch overhead (which also defeats naive
+        # block_until_ready timing).  float() materialization of a scalar
+        # forces real execution; varying `seed` defeats result caching.
+        def timed_chain(K):
+            @jax.jit
+            def chain(p, v, seed):
+                def body(c, _):
+                    y = model.fwd(p, c)
+                    return c + (0.0 * jnp.mean(y)).astype(c.dtype), jnp.mean(y)
+                _, ys = jax.lax.scan(body, v + seed, None, length=K)
+                return jnp.sum(ys)
+
+            float(chain(p, xx, dtype(0)))  # compile + warm
+            ts = []
+            for i in range(WARMUP + 3):
+                t0 = time.perf_counter()
+                float(chain(p, xx, dtype(1e-2 * (i + 1))))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t1, tk = timed_chain(1), timed_chain(1 + ITERS)
+        per_forward = (tk - t1) / ITERS
         out_mp = BATCH * (IN_SIZE * 4) ** 2 / 1e6
-        results[mode] = out_mp / dt
+        results[mode] = out_mp / per_forward
     config.set_conv_precision("highest")
     results["platform"] = dev.platform
     return results

@@ -11,7 +11,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from srcgan_tpu import nn
+from srcgan_tpu import nn, ops
+
+# The source-grouped RDB5 forward is exact (same params, float-add
+# reassociation only) and ~2x faster on the MXU; the naive concat-chain form
+# is kept for A/B verification.
+FAST_RDB5 = True
 
 
 def get_deconv_params(upscale_factor: int) -> Tuple[int, int, int]:
@@ -53,6 +58,12 @@ class ResidualDenseBlock5(nn.Module):
         return self.convs.init(key)
 
     def forward(self, p, x, train, lemda: float = 0.2):
+        if FAST_RDB5:
+            return self._forward_grouped(p, x, lemda)
+        return self._forward_naive(p, x, lemda)
+
+    def _forward_naive(self, p, x, lemda: float = 0.2):
+        """Literal concat-chain form (rddb.py:62-68)."""
         c = self.convs.layers
         lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
         x1 = lrelu(c["conv1"].fwd(p["conv1"], x))
@@ -60,6 +71,54 @@ class ResidualDenseBlock5(nn.Module):
         x3 = lrelu(c["conv3"].fwd(p["conv3"], jnp.concatenate([x, x1, x2], -1)))
         x4 = lrelu(c["conv4"].fwd(p["conv4"], jnp.concatenate([x, x1, x2, x3], -1)))
         x5 = c["conv5"].fwd(p["conv5"], jnp.concatenate([x, x1, x2, x3, x4], -1))
+        return x5 * lemda + x
+
+    def _forward_grouped(self, p, x, lemda: float = 0.2):
+        """Source-grouped form — exact same function, MXU-shaped for TPU.
+
+        conv_i(concat(x, x1..x_{i-1})) decomposes over input slices, so the
+        chain regroups by SOURCE: one conv per source tensor computing its
+        contributions to ALL later stages at once.  Output-channel widths
+        become (192, 160, 128, 96, 64) instead of five width-32 convs — the
+        MXU's 128-lane systolic array goes from ~25% to ~75% occupancy, which
+        is where the RDB5 trunk (the framework's dominant FLOPs, SURVEY.md
+        §3.4) wins ~2x.  Only float-add reassociation differs from the naive
+        form; parameters are bit-identical and checkpoint-compatible.
+        """
+        nf, gc = self.nf, self.gc
+        lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+        W = [p[f"conv{i + 1}"]["w"] for i in range(5)]
+        b = [p[f"conv{i + 1}"].get("b") for i in range(5)]
+        badd = lambda v, bi: v if bi is None else v + bi
+
+        def wslice(i: int, s: int):
+            """conv_i's weight slice for source s (0=x, k=x_k)."""
+            lo, hi = (0, nf) if s == 0 else (nf + (s - 1) * gc, nf + s * gc)
+            return W[i][:, :, lo:hi, :]
+
+        def grouped(s: int, first_stage: int):
+            """Source-s contributions to stages first_stage..5, concat out-ch."""
+            return jnp.concatenate(
+                [wslice(i, s) for i in range(first_stage, 5)], axis=-1)
+
+        # contributions FROM x: conv1 whole + x-slices of conv2..5 -> 192ch
+        u_x = jnp.concatenate([W[0]] + [wslice(i, 0) for i in range(1, 5)],
+                              axis=-1)
+        px = ops.conv2d(x, u_x, None, 1, 1)
+        p1, p2, p3, p4, p5 = (px[..., :gc], px[..., gc:2 * gc],
+                              px[..., 2 * gc:3 * gc], px[..., 3 * gc:4 * gc],
+                              px[..., 4 * gc:])
+        x1 = lrelu(badd(p1, b[0]))
+        q = ops.conv2d(x1, grouped(1, 1), None, 1, 1)  # 32->160
+        x2 = lrelu(badd(p2 + q[..., :gc], b[1]))
+        r = ops.conv2d(x2, grouped(2, 2), None, 1, 1)  # 32->128
+        x3 = lrelu(badd(p3 + q[..., gc:2 * gc] + r[..., :gc], b[2]))
+        s_ = ops.conv2d(x3, grouped(3, 3), None, 1, 1)  # 32->96
+        x4 = lrelu(badd(p4 + q[..., 2 * gc:3 * gc] + r[..., gc:2 * gc]
+                        + s_[..., :gc], b[3]))
+        t = ops.conv2d(x4, wslice(4, 4), None, 1, 1)  # 32->64
+        x5 = badd(p5 + q[..., 3 * gc:] + r[..., 2 * gc:] + s_[..., gc:] + t,
+                  b[4])
         return x5 * lemda + x
 
 

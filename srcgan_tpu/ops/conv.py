@@ -65,6 +65,25 @@ def conv_transpose2d(x, w, b=None, stride: IntOr2 = 1, padding: IntOr2 = 0,
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     oph, opw = _pair(output_padding)
+    if (kh == kw == sh == sw) and (ph, pw) == (0, 0) and (oph, opw) == (0, 0):
+        # Non-overlapping case (e.g. the reference's k2s2 x2 deconv): each
+        # input pixel independently emits a k x k output patch, so the whole
+        # op is one 1x1 conv to Cout*k*k channels + depth-to-space.  On the
+        # MXU this turns a width-Cout matmul into width-Cout*k*k (4x lane
+        # occupancy for k=2) with no scatter. Exact, not an approximation.
+        cin, cout = w.shape[2], w.shape[3]
+        # (kh, kw, cin, cout) -> (1, 1, cin, cout*kh*kw) with channel order
+        # matching pixel_shuffle's (cout, kh, kw) convention.
+        w11 = w.transpose(2, 3, 0, 1).reshape(1, 1, cin, cout * kh * kw)
+        y = lax.conv_general_dilated(
+            x, w11, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+            dimension_numbers=_DIMS, preferred_element_type=accum_dtype,
+            precision=config.get_conv_precision(),
+        )
+        y = pixel_shuffle(y.astype(x.dtype), kh)
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y.astype(x.dtype)
     pad_h = (kh - 1 - ph, kh - 1 - ph + oph)
     pad_w = (kw - 1 - pw, kw - 1 - pw + opw)
     w_flipped = w[::-1, ::-1]
