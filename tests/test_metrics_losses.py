@@ -206,3 +206,37 @@ class TestVGG:
         b = jnp.asarray(rand(1, 16, 16, 1, positive=True))
         v = float(losses_vgg.vgg16_loss(params, a, b))
         assert np.isfinite(v) and v > 0
+
+
+class TestPallasSSIM:
+    """Fused Pallas SSIM kernel vs the XLA depthwise-conv form (interpret
+    mode on the CPU backend; the compiled path is exercised on TPU)."""
+
+    @pytest.mark.parametrize("shape", [(2, 32, 32, 3), (1, 24, 40, 1)])
+    def test_matches_xla(self, shape):
+        from srcgan_tpu.metrics import ssim_xla
+        from srcgan_tpu.ops.pallas.ssim_kernel import ssim_pallas
+        a = jnp.asarray(rand(*shape, positive=True))
+        b = jnp.asarray(rand(*shape, positive=True))
+        ref = float(ssim_xla(a, b))
+        got = float(ssim_pallas(a, b, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-5)
+
+    def test_255_range_and_full(self):
+        from srcgan_tpu.metrics import ssim_xla
+        from srcgan_tpu.ops.pallas.ssim_kernel import ssim_pallas
+        a = jnp.asarray(rand(1, 32, 32, 3, positive=True)) * 255.0
+        b = jnp.asarray(rand(1, 32, 32, 3, positive=True)) * 255.0
+        r1, c1 = ssim_xla(a, b, full=True)
+        r2, c2 = ssim_pallas(a, b, full=True, interpret=True)
+        np.testing.assert_allclose(float(r2), float(r1), atol=1e-6)
+        np.testing.assert_allclose(float(c2), float(c1), atol=1e-6)
+
+    def test_per_sample(self):
+        from srcgan_tpu.metrics import ssim_xla
+        from srcgan_tpu.ops.pallas.ssim_kernel import ssim_pallas
+        a = jnp.asarray(rand(3, 24, 24, 3, positive=True))
+        b = jnp.asarray(rand(3, 24, 24, 3, positive=True))
+        ref = ssim_xla(a, b, size_average=False)
+        got = ssim_pallas(a, b, size_average=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
