@@ -43,6 +43,9 @@ def build_parser():
     p.add_argument("--mesh-size", type=int, default=0,
                    help="devices on the data axis (0 = single device)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <checkpoints>/casstate_latest.npz "
+                        "(full state: params + Adam moments + epoch)")
     return p
 
 
@@ -55,6 +58,7 @@ def main(argv=None):
     from srcgan_tpu import data, parallel
     from srcgan_tpu.data import preprocess
     from srcgan_tpu.train import CasTrainer, checkpoint_name, save_params
+    from srcgan_tpu.train.state import load_train_state, save_train_state
     from srcgan_tpu.utils import Logger
 
     ver = "G2LAB" if args.lab else "G2RGB"
@@ -62,6 +66,12 @@ def main(argv=None):
                          lr=args.lr, const=args.const, lab=args.lab,
                          lr_policy=args.lr_policy, num_epochs=args.num_epochs)
     state = trainer.init(jax.random.PRNGKey(args.seed))
+    start_epoch = 1
+    state_path = os.path.join(args.checkpoints, "casstate_latest.npz")
+    if args.resume and os.path.exists(state_path):
+        state, extra = load_train_state(state_path, state)
+        start_epoch = int(extra.get("epoch", 0)) + 1
+        print(f"resumed from {state_path} at epoch {start_epoch}")
 
     mesh = None
     if args.mesh_size > 1:
@@ -80,7 +90,7 @@ def main(argv=None):
     logger = Logger(len(trainset), args.num_epochs)
 
     window = {"loss_SR": [], "loss_C": [], "psnr_SR": [], "psnr_C": []}
-    for epoch in range(1, args.num_epochs + 1):
+    for epoch in range(start_epoch, args.num_epochs + 1):
         lr = trainer.lr_at_epoch(epoch)
         for it, (src_u8, tar_u8, _) in enumerate(
                 data.batches(trainset, args.batch_size, shuffle=True,
@@ -107,7 +117,9 @@ def main(argv=None):
                 args.CModel, "C2B", args.up, epoch, ver=lab_ver))
             save_params(netGA, jax.device_get(state.sr.params))
             save_params(netGB, jax.device_get(state.c.params))
-            print(f"\nsaved {netGA} {netGB}")
+            save_train_state(state_path, jax.device_get(state),
+                             extra={"epoch": epoch})
+            print(f"\nsaved {netGA} {netGB} (+ resume state)")
     return state
 
 

@@ -1,0 +1,82 @@
+"""Multi-task CycleGAN training driver — multi-task.py parity (net='2').
+
+  python -m srcgan_tpu.cli.train_multitask --mode x2
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="multi-task CycleGAN training")
+    p.add_argument("--mode", type=str, default="x2", choices=["x2", "x4"])
+    p.add_argument("--root", type=str, default=None)
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--num-epochs", type=int, default=25)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--netG", type=str, default="resnet_9blocks")
+    p.add_argument("--norm", type=str, default="instance")
+    p.add_argument("--save-every", type=int, default=5)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--checkpoints", type=str, default="./checkpoints")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from srcgan_tpu import data
+    from srcgan_tpu.data import preprocess
+    from srcgan_tpu.train import MultiTaskTrainer, save_params
+    from srcgan_tpu.utils import Logger
+
+    root = args.root or f"Sat2Aer{args.mode}"
+    trainer = MultiTaskTrainer(mode=args.mode, lr=args.lr, ngf=args.ngf,
+                               netG=args.netG, norm=args.norm,
+                               num_epochs=args.num_epochs)
+    state = trainer.init(jax.random.PRNGKey(args.seed))
+
+    trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)
+    print(f"Starting Training Loop... ({len(trainset)} samples, multi-task)")
+    logger = Logger(len(trainset), args.num_epochs)
+    sf = 2 if args.mode == "x2" else 4
+
+    for epoch in range(1, args.num_epochs + 1):
+        g_lr, d_lr = trainer.lr_at_epoch(epoch)
+        for it, (src_u8, tar_u8, _) in enumerate(
+                data.batches(trainset, args.batch_size, shuffle=True,
+                             seed=args.seed, epoch=epoch)):
+            realA, realB = preprocess.convert_pair(
+                jnp.asarray(src_u8), jnp.asarray(tar_u8), "G2RGB")
+            # realB1: prepared like the reference (multi-task.py:410-415);
+            # it is unused by the model, kept for protocol parity.
+            realB1 = preprocess.degrade_nearest(preprocess.luma(realB), sf)
+            state, aux = trainer.optimize_parameters(state, realA, realB,
+                                                     realB1, g_lr, d_lr)
+            if it % args.log_every == 0:
+                logger.log(
+                    nepoch=epoch, niter=it,
+                    losses={k: float(aux[k]) for k in
+                            ("loss_G", "loss_G_C", "loss_D_A", "loss_D_B")},
+                    images={k: aux[k] for k in
+                            ("real_C", "fake_A", "fake_B", "recl_A", "recl_B")})
+        if epoch % args.save_every == 0:
+            os.makedirs(args.checkpoints, exist_ok=True)
+            for name in ("G_A", "G_B", "G_C"):
+                path = os.path.join(
+                    args.checkpoints,
+                    f"netG_{name}_MTtask_{args.mode}_{epoch:04d}.npz")
+                save_params(path, jax.device_get(state.g.params[name]))
+            print(f"\nsaved multi-task generators at epoch {epoch}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Multi-task CycleGAN trainer — reference multi-task.py (net='2') parity.
+
+Adds a third generator netG_C (SRDenseNetA 1->1 SR) in front of a pix2pix
+ResnetGenerator colorization cycle:
+
+  real_C = G_C(realA)            # SR'd gray, full resolution
+  fake_B = G_A(real_C)           # colorize (resnet_9blocks, instance norm)
+  recl_A = G_B(fake_B)           # back to gray
+  fake_A = G_B(realB); recl_B = G_A(fake_A)
+
+Reference quirks replicated deliberately (multi-task.py:331,339-340):
+  - loss_G_C = MSE(G_C(realA), realB) is computed (broadcast gray-vs-RGB) and
+    reported, but NOT added to loss_G — G_C still trains because optimizer_G
+    chains its params and gradients flow through the fake_B/cycle path (:200);
+  - cycle_A is anchored at real_C, not real_A (:335); D_B discriminates
+    real_C vs fake_A (:307);
+  - lambda_identity defaults to 0 (:371) — identity terms are off (the
+    identity inputs the reference still computes are dead; XLA would DCE
+    them, we skip them);
+  - realB1 (downsampled gray) is prepared by the driver but never consumed
+    (:410-415); accepted and ignored for API parity.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from srcgan_tpu import losses, models
+from srcgan_tpu.train import optim
+from srcgan_tpu.train.cyclegan import CycleState, ImagePool
+from srcgan_tpu.train.state import TrainState
+
+
+class MultiTaskTrainer:
+    def __init__(self, mode: str = "x2", lr: float = 1e-4, d_lr: float = 1e-5,
+                 beta1: float = 0.5, pool_size: int = 4,
+                 lambda_identity: float = 0.0, lambda_a: float = 10.0,
+                 lambda_b: float = 10.0, ngf: int = 64,
+                 netG: str = "resnet_9blocks", norm: str = "instance",
+                 gan_mode: str = "lsgan", lr_policy: str = "cosine",
+                 num_epochs: int = 25):
+        self.mode = mode
+        self.lr, self.d_lr = lr, d_lr
+        self.lambda_identity = lambda_identity
+        self.lambda_a, self.lambda_b = lambda_a, lambda_b
+        self.gan_mode = gan_mode
+        self.lr_policy, self.num_epochs = lr_policy, num_epochs
+
+        self.netG_C = models.SRDenseNetA(1, 1, mode=mode, num_blocks=2,
+                                         num_layers=2)
+        self.netG_A = models.define_G(1, 3, ngf, netG, norm)
+        self.netG_B = models.define_G(3, 1, ngf, netG, norm)
+        self.netD_A = models.NLayerDiscriminator(3, 64, 2)
+        self.netD_B = models.NLayerDiscriminator(1, 64, 2)
+
+        self.fake_A_pool = ImagePool(pool_size)
+        self.fake_B_pool = ImagePool(pool_size)
+        self.opt_g = optim.adam(lr, b1=beta1)
+        self.opt_d = optim.adam(d_lr, b1=beta1)
+
+    def init(self, key) -> CycleState:
+        ka, kb, kc, kda, kdb = jax.random.split(key, 5)
+        g_params = {"G_A": self.netG_A.init(ka), "G_B": self.netG_B.init(kb),
+                    "G_C": self.netG_C.init(kc)}
+        d_params = {"D_A": self.netD_A.init(kda), "D_B": self.netD_B.init(kdb)}
+        d_state = {"D_A": self.netD_A.init_state(),
+                   "D_B": self.netD_B.init_state()}
+        return CycleState(
+            g=TrainState(g_params, self.opt_g.init(g_params),
+                         jnp.zeros((), jnp.int32)),
+            d=TrainState(d_params, self.opt_d.init(d_params),
+                         jnp.zeros((), jnp.int32)),
+            d_model_state=d_state,
+        )
+
+    def lr_at_epoch(self, epoch: int):
+        f = optim.reference_lr(self.lr_policy, 1.0, self.num_epochs, epoch)
+        return self.lr * f, self.d_lr * f
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def g_step(self, state: CycleState, realA, realB, lr):
+        def loss_fn(gp):
+            g_a = lambda v: self.netG_A.fwd(gp["G_A"], v, train=True)
+            g_b = lambda v: self.netG_B.fwd(gp["G_B"], v, train=True)
+            g_c = lambda v: self.netG_C.fwd(gp["G_C"], v, train=True)
+            real_C = g_c(realA)
+            fake_B = g_a(real_C)
+            recl_A = g_b(fake_B)
+            fake_A = g_b(realB)
+            recl_B = g_a(fake_A)
+
+            pred_fake_B, _ = self.netD_A.apply(
+                state.d.params["D_A"], fake_B,
+                state=state.d_model_state["D_A"], train=True)
+            pred_fake_A, _ = self.netD_B.apply(
+                state.d.params["D_B"], fake_A,
+                state=state.d_model_state["D_B"], train=True)
+            loss_g_a = losses.gan_loss(pred_fake_B, True, self.gan_mode)
+            loss_g_b = losses.gan_loss(pred_fake_A, True, self.gan_mode)
+            loss_cycle_a = losses.l1(recl_A, real_C) * self.lambda_a * 0.5
+            loss_cycle_b = losses.l1(recl_B, realB) * self.lambda_b * 0.5
+            # reported-but-unused auxiliary SR loss (multi-task.py:331,:339-340)
+            loss_g_c = losses.mse(jnp.broadcast_to(real_C, realB.shape), realB)
+            loss_g = loss_g_a + loss_g_b + loss_cycle_a + loss_cycle_b
+            aux = {"real_C": real_C, "fake_A": fake_A, "fake_B": fake_B,
+                   "recl_A": recl_A, "recl_B": recl_B,
+                   "loss_G": loss_g, "loss_G_A": loss_g_a, "loss_G_B": loss_g_b,
+                   "loss_G_C": jax.lax.stop_gradient(loss_g_c),
+                   "loss_cycle_A": loss_cycle_a, "loss_cycle_B": loss_cycle_b}
+            return loss_g, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.g.params)
+        opt_state = optim.set_lr(state.g.opt_state, lr)
+        updates, opt_state = self.opt_g.update(grads, opt_state, state.g.params)
+        new_g = TrainState(optax.apply_updates(state.g.params, updates),
+                           opt_state, state.g.step + 1)
+        return CycleState(new_g, state.d, state.d_model_state), aux
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def d_step(self, state: CycleState, real_C, realB, fake_A_pooled,
+               fake_B_pooled, lr):
+        """D_A: realB vs pooled fake_B; D_B: real_C vs pooled fake_A
+        (multi-task.py:307)."""
+
+        def loss_fn(dp, dstate):
+            new_state = {}
+
+            def d_losses(net, p, st, real, fake):
+                pred_real, st1 = net.apply(p, real, state=st, train=True)
+                l_real = losses.gan_loss(pred_real, True, self.gan_mode)
+                pred_fake, st2 = net.apply(p, jax.lax.stop_gradient(fake),
+                                           state=st1, train=True)
+                l_fake = losses.gan_loss(pred_fake, False, self.gan_mode)
+                return (l_real + l_fake) * 0.5, st2
+
+            l_da, new_state["D_A"] = d_losses(
+                self.netD_A, dp["D_A"], dstate["D_A"], realB, fake_B_pooled)
+            l_db, new_state["D_B"] = d_losses(
+                self.netD_B, dp["D_B"], dstate["D_B"],
+                jax.lax.stop_gradient(real_C), fake_A_pooled)
+            return l_da + l_db, (l_da, l_db, new_state)
+
+        (_, (l_da, l_db, d_mstate)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.d.params, state.d_model_state)
+        opt_state = optim.set_lr(state.d.opt_state, lr)
+        updates, opt_state = self.opt_d.update(grads, opt_state, state.d.params)
+        new_d = TrainState(optax.apply_updates(state.d.params, updates),
+                           opt_state, state.d.step + 1)
+        return (CycleState(state.g, new_d, d_mstate),
+                {"loss_D_A": l_da, "loss_D_B": l_db})
+
+    def optimize_parameters(self, state: CycleState, realA, realB,
+                            realB1=None, g_lr=None, d_lr=None):
+        """realB1 accepted and ignored (multi-task.py prepares it unused)."""
+        del realB1
+        g_lr = self.lr if g_lr is None else g_lr
+        d_lr = self.d_lr if d_lr is None else d_lr
+        state, aux = self.g_step(state, realA, realB, g_lr)
+        fake_A = self.fake_A_pool.query(np.asarray(aux["fake_A"]))
+        fake_B = self.fake_B_pool.query(np.asarray(aux["fake_B"]))
+        state, dm = self.d_step(state, aux["real_C"], realB,
+                                jnp.asarray(fake_A), jnp.asarray(fake_B), d_lr)
+        aux.update(dm)
+        return state, aux

@@ -14,6 +14,7 @@ import re
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -96,3 +97,49 @@ def parse_checkpoint_name(path: str) -> Dict[str, Any]:
     d = m.groupdict()
     return {"model": d["model"], "ver": d["ver"] or "G2RGB",
             "role": d["role"], "up": int(d["up"]), "epoch": int(d["epoch"])}
+
+
+def _is_namedtuple(x) -> bool:
+    return isinstance(x, tuple) and hasattr(x, "_fields")
+
+
+def _unflatten_like(like, raw, prefix=""):
+    if isinstance(like, dict):
+        return {k: _unflatten_like(v, raw, f"{prefix}{k}/")
+                for k, v in like.items()}
+    if _is_namedtuple(like):
+        return type(like)(*[_unflatten_like(v, raw, f"{prefix}{i}/")
+                            for i, v in enumerate(like)])
+    if isinstance(like, (list, tuple)):
+        vals = [_unflatten_like(v, raw, f"{prefix}{i}/")
+                for i, v in enumerate(like)]
+        return type(like)(vals) if isinstance(like, list) else tuple(vals)
+    if like is None:
+        return None
+    key = prefix.rstrip("/")
+    arr = raw[key]
+    return jnp.asarray(arr) if hasattr(like, "dtype") else type(like)(arr)
+
+
+def save_train_state(path: str, state, extra: Optional[Dict[str, Any]] = None
+                     ) -> None:
+    """Save a FULL train state (params + optimizer moments + step + model
+    state) for mid-training resume — a capability the reference lacks
+    (SURVEY.md §5.4: weights-only saves, no optimizer state, no resume).
+
+    ``extra`` holds scalar metadata (e.g. {'epoch': 7}).
+    """
+    flat = _flatten(state)
+    for k, v in (extra or {}).items():
+        flat[f"__extra__/{k}"] = np.asarray(v)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_train_state(path: str, like) -> Tuple[Any, Dict[str, Any]]:
+    """Restore a train state saved by save_train_state.  ``like`` provides the
+    pytree structure (e.g. trainer.init(key)).  Returns (state, extra)."""
+    raw = dict(np.load(path))
+    extra = {k.split("/", 1)[1]: raw.pop(k).item()
+             for k in list(raw) if k.startswith("__extra__/")}
+    return _unflatten_like(like, raw), extra

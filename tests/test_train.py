@@ -148,3 +148,35 @@ class TestData:
         ds = data.G2RGB("SynthSat", "test", data_dir=str(tmp_path))
         out = ds.show(0, example_dir=str(tmp_path / "example"))
         assert os.path.exists(out)
+
+
+class TestMultiTask:
+    def test_iteration_runs(self):
+        from srcgan_tpu.train import MultiTaskTrainer
+        tr = MultiTaskTrainer(mode="x2", ngf=8, netG="resnet_6blocks")
+        st = tr.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        realB = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        realA = jnp.asarray(
+            (np.asarray(realB) @ np.array([0.2125, 0.7154, 0.0721],
+                                          np.float32))[..., None][:, ::2, ::2])
+        st, aux = tr.optimize_parameters(st, realA, realB)
+        # real_C is the SR'd gray at full resolution
+        assert aux["real_C"].shape == (1, 32, 32, 1)
+        assert aux["fake_B"].shape == realB.shape
+        for k in ["loss_G", "loss_G_C", "loss_D_A", "loss_D_B"]:
+            assert np.isfinite(float(aux[k])), k
+
+    def test_g_c_trains_through_chain(self):
+        """loss_G_C is excluded from loss_G, but G_C still updates via the
+        fake_B path (optimizer chains its params)."""
+        from srcgan_tpu.train import MultiTaskTrainer
+        tr = MultiTaskTrainer(mode="x2", ngf=8, netG="resnet_6blocks")
+        st = tr.init(jax.random.PRNGKey(1))
+        before = np.asarray(jax.tree_util.tree_leaves(st.g.params["G_C"])[0])
+        rng = np.random.default_rng(1)
+        realB = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        realA = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 1)).astype(np.float32))
+        st, _ = tr.optimize_parameters(st, realA, realB)
+        after = np.asarray(jax.tree_util.tree_leaves(st.g.params["G_C"])[0])
+        assert np.abs(after - before).max() > 0
