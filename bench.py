@@ -78,6 +78,48 @@ def bench_jax() -> dict:
     return results
 
 
+def bench_train() -> dict:
+    """Fused cascaded train-step throughput (RDDBNet+ResDeconv x2, bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srcgan_tpu import config
+    from srcgan_tpu.train import CasTrainer
+
+    config.set_conv_precision("default")
+    tr = CasTrainer(sr_model="RDDBNet", c_model="ResDeconv", up=2)
+    st0 = tr.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b, s = 8, 256
+    tar = jnp.asarray(rng.uniform(0, 1, (b, s, s, 3)).astype(np.float32))
+    src = jnp.asarray((np.asarray(tar) @ np.array(
+        [0.2125, 0.7154, 0.0721], np.float32))[..., None])
+
+    def timed_chain(K):
+        @jax.jit
+        def chain(st, a, t, seed):
+            def body(carry, i):
+                stc, _ = tr.train_step(carry, a + seed * 1e-6, t, 1e-4)
+                return stc, 0.0
+            st, _ = jax.lax.scan(body, st, jnp.arange(K))
+            return jnp.mean(st.sr.params["conv_first"]["w"])
+
+        float(chain(st0, src, tar, jnp.float32(0)))
+        ts = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            float(chain(st0, src, tar, jnp.float32(i + 1)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t5 = timed_chain(1), timed_chain(5)
+    per = (t5 - t1) / 4
+    config.set_conv_precision("highest")
+    return {"train_step_ms": round(per * 1000, 1),
+            "train_samples_per_s": round(b / per, 1),
+            "train_target_mps": round(b * s * s / 1e6 / per, 2)}
+
+
 def torch_rddb_mps() -> float:
     """Torch-CPU baseline: an equivalent RDDBNet built with torch.nn.
 
@@ -156,6 +198,7 @@ def torch_rddb_mps() -> float:
 
 def main():
     jax_res = bench_jax()
+    train_res = bench_train()
     torch_mps = torch_rddb_mps()
     value = jax_res["bf16"] if jax_res["platform"] != "cpu" else jax_res["fp32"]
     print(json.dumps({
@@ -169,6 +212,7 @@ def main():
             "torch_cpu_mps": round(torch_mps, 3),
             "platform": jax_res["platform"],
             "batch": BATCH, "in_size": IN_SIZE, "scale": 4,
+            **train_res,
         },
     }))
 

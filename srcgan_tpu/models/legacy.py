@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from srcgan_tpu import nn, ops
 from srcgan_tpu.models.blocks import rrdb_trunk
+from srcgan_tpu.ops.fused import nearest_up2_conv3x3
 
 
 class RDDBNetA(nn.Module):
@@ -47,12 +48,14 @@ class RDDBNetA(nn.Module):
         fea = m["conv_first"].fwd(p["conv_first"], x)
         # trunk output is computed in the reference but unused by the tail
         # (model.py:381 assigns `trunk` and never adds it) — XLA DCEs it here.
-        up = lambda v: ops.interpolate(v, scale_factor=2, mode="nearest")
+        # nearest-up + conv fused into one phase conv (ops.fused) — exact
+        upconv = lambda v: nearest_up2_conv3x3(v, p["upconv"]["w"],
+                                               p["upconv"].get("b"))
         if self.mode == "x4":
-            fea = lrelu(m["upconv"].fwd(p["upconv"], up(fea)))
-            fea = lrelu(m["upconv"].fwd(p["upconv"], up(fea)))
+            fea = lrelu(upconv(fea))
+            fea = lrelu(upconv(fea))
         elif self.mode == "x2":
-            fea = lrelu(m["upconv"].fwd(p["upconv"], up(fea)))
+            fea = lrelu(upconv(fea))
         elif self.mode == "x1":
             fea = lrelu(m["upconv"].fwd(p["upconv"], fea))
         fea = lrelu(m["HRconv"].fwd(p["HRconv"], fea))
@@ -86,16 +89,17 @@ class RDDBNetB(nn.Module):
     def forward(self, p, x, train):
         m = self.mods.layers
         lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
-        up = lambda v: ops.interpolate(v, scale_factor=2, mode="nearest")
         fea = m["conv_first"].fwd(p["conv_first"], x)
         trunk = m["trunk_conv"].fwd(p["trunk_conv"],
                                     m["trunk"].fwd(p["trunk"], fea, train))
         fea = fea + trunk
+        upc = lambda name, v: nearest_up2_conv3x3(v, p[name]["w"],
+                                                  p[name].get("b"))
         if self.mode == "x4":
-            fea = lrelu(m["upconv1"].fwd(p["upconv1"], up(fea)))
-            fea = lrelu(m["upconv2"].fwd(p["upconv2"], up(fea)))
+            fea = lrelu(upc("upconv1", fea))
+            fea = lrelu(upc("upconv2", fea))
         elif self.mode == "x2":
-            fea = lrelu(m["upconv1"].fwd(p["upconv1"], up(fea)))
+            fea = lrelu(upc("upconv1", fea))
             fea = lrelu(m["upconv1"].fwd(p["upconv1"], fea))
         for _ in range(7):
             fea = lrelu(m["HRconv"].fwd(p["HRconv"], fea))
