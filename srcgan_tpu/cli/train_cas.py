@@ -92,18 +92,22 @@ def main(argv=None):
     window = {"loss_SR": [], "loss_C": [], "psnr_SR": [], "psnr_C": []}
     for epoch in range(start_epoch, args.num_epochs + 1):
         lr = trainer.lr_at_epoch(epoch)
-        for it, (src_u8, tar_u8, _) in enumerate(
-                data.batches(trainset, args.batch_size, shuffle=True,
-                             seed=args.seed, epoch=epoch), start=1):
-            realA, realB = preprocess.convert_pair(
-                jnp.asarray(src_u8), jnp.asarray(tar_u8), ver)
+        batch_iter = preprocess.device_put_iter(
+            data.batches(trainset, args.batch_size, shuffle=True,
+                         seed=args.seed, epoch=epoch))
+        for it, (src_u8, tar_u8, _) in enumerate(batch_iter, start=1):
             if mesh is not None:
+                realA, realB = preprocess.convert_pair(src_u8, tar_u8, ver)
                 realA = parallel.put_batch(realA, mesh)
                 realB = parallel.put_batch(realB, mesh)
-            state, metrics = step(state, realA, realB, lr)
+                state, metrics = step(state, realA, realB, lr)
+            else:
+                # uint8-input fused step: preprocessing inside the step's jit
+                state, metrics = trainer.train_step_u8(state, src_u8, tar_u8, lr)
             for k in window:
                 window[k].append(float(metrics[k]))
             if it % args.log_every == 0:
+                realA, realB = preprocess.convert_pair(src_u8, tar_u8, ver)
                 logger.log(nepoch=epoch, niter=it,
                            losses={k: float(np.mean(v)) for k, v in window.items()},
                            images=trainer.snapshot(state, realA, realB), ver=ver)

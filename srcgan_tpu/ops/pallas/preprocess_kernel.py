@@ -27,7 +27,8 @@ _LUMA_R, _LUMA_G, _LUMA_B = 0.2125, 0.7154, 0.0721
 
 
 def _kernel(rgb_ref, mh_ref, mw_ref, gray_ref, low_ref):
-    rgb = rgb_ref[0].astype(jnp.float32) * (1.0 / 255.0)  # (H, W, 3)
+    # Mosaic has no direct u8->f32 cast; hop through int32 (free on the VPU).
+    rgb = rgb_ref[0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     gray = (rgb[:, :, 0] * _LUMA_R + rgb[:, :, 1] * _LUMA_G
             + rgb[:, :, 2] * _LUMA_B)                      # (H, W)
     gray_ref[0] = gray

@@ -138,6 +138,17 @@ class CasTrainer:
         grads, mstates, metrics = self.grads(state, realA, realB)
         return self.apply_grads(state, grads, mstates, lr), metrics
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step_u8(self, state: CasState, src_u8, tar_u8, lr):
+        """uint8-input step: decode/normalize/colourspace happen INSIDE the
+        same XLA program as the model step — uint8 batches cross host->HBM
+        (4x smaller than fp32) and the preprocessing fuses into the first
+        convs with no extra dispatch."""
+        realA, realB = preprocess.convert_pair(
+            src_u8, tar_u8, "G2LAB" if self.lab else "G2RGB")
+        grads, mstates, metrics = self.grads(state, realA, realB)
+        return self.apply_grads(state, grads, mstates, lr), metrics
+
     # -- transfer / eval cascade (trainCas.py:103-109, testCas protocol) -----
 
     @partial(jax.jit, static_argnums=0)
