@@ -21,6 +21,8 @@ from srcgan_tpu.models.srdn import SRDN
 from srcgan_tpu.models.resdeconv import ResDeconv
 from srcgan_tpu.models.discriminator import NLayerDiscriminator
 from srcgan_tpu.models.legacy import (
+    Decoder,
+    Encoder,
     RDDBNetA,
     RDDBNetB,
     RDDBNetD,
@@ -55,6 +57,8 @@ REGISTRY: Dict[str, type] = {
     "RDDBNetA": RDDBNetA,
     "RDDBNetB": RDDBNetB,
     "RDDBNetD": RDDBNetD,
+    "Decoder": Decoder,
+    "Encoder": Encoder,
     "SRDenseNetA": SRDenseNetA,
     "SRDenseNetB": SRDenseNetB,
     "VDSR": VDSR,

@@ -257,3 +257,70 @@ class RDDBNetD(nn.Module):
         fea = lrelu(m["HRconv"].fwd(p["HRconv"], fea))
         return m["conv_last"].fwd(p["conv_last"],
                                   lrelu(m["HRconv"].fwd(p["HRconv"], fea)))
+
+
+class Decoder(nn.Module):
+    """Legacy conv downsampling tower (model.py:236-289): 6x [conv-BN-
+    LeakyReLU(0.1)], two stride-2 stages, 64->128->256->128->64 channels.
+    Unreachable from any driver in the reference; kept for completeness."""
+
+    def __init__(self):
+        chans = [(64, 64, 1), (64, 128, 1), (128, 128, 2), (128, 256, 2),
+                 (256, 128, 1), (128, 64, 1)]
+        mods = {}
+        for i, (cin, cout, s) in enumerate(chans, start=1):
+            mods[f"conv{i}"] = nn.Conv2d(cin, cout, 3, s, 1, bias=False,
+                                         weight_init="torch")
+            mods[f"bn{i}"] = nn.BatchNorm2d(cout)
+        self.mods = nn.named(mods)
+
+    def init(self, key):
+        return self.mods.init(key)
+
+    def init_state(self):
+        return self.mods.init_state()
+
+    def apply(self, p, x, state=None, train=False):
+        m = self.mods.layers
+        state = dict(state) if state else {}
+        for i in range(1, 7):
+            x = m[f"conv{i}"].fwd(p[f"conv{i}"], x)
+            x, ns = m[f"bn{i}"].apply(p[f"bn{i}"], x,
+                                      state=state.get(f"bn{i}"), train=train)
+            state[f"bn{i}"] = ns
+            x = jax.nn.leaky_relu(x, 0.1)
+        return x, state
+
+
+class Encoder(nn.Module):
+    """Legacy deconv upsampling tower (model.py:291-343): 6x [deconv-BN-ReLU],
+    two stride-2 k3p1op1 stages.  Unreachable in the reference; kept for
+    completeness."""
+
+    def __init__(self):
+        chans = [(64, 64, 1, 0), (64, 128, 1, 0), (128, 128, 2, 1),
+                 (128, 256, 2, 1), (256, 128, 1, 0), (128, 64, 1, 0)]
+        mods = {}
+        for i, (cin, cout, s, op) in enumerate(chans, start=1):
+            mods[f"decon{i}"] = nn.ConvTranspose2d(cin, cout, 3, s, 1, op,
+                                                   bias=False,
+                                                   weight_init="torch")
+            mods[f"bn{i}"] = nn.BatchNorm2d(cout)
+        self.mods = nn.named(mods)
+
+    def init(self, key):
+        return self.mods.init(key)
+
+    def init_state(self):
+        return self.mods.init_state()
+
+    def apply(self, p, x, state=None, train=False):
+        m = self.mods.layers
+        state = dict(state) if state else {}
+        for i in range(1, 7):
+            x = m[f"decon{i}"].fwd(p[f"decon{i}"], x)
+            x, ns = m[f"bn{i}"].apply(p[f"bn{i}"], x,
+                                      state=state.get(f"bn{i}"), train=train)
+            state[f"bn{i}"] = ns
+            x = jax.nn.relu(x)
+        return x, state

@@ -144,3 +144,15 @@ class TestZooShapes:
         p = m.init(jax.random.PRNGKey(0))
         y, _ = m.apply(p, jnp.zeros((1, 256, 256, 1)))
         assert y.shape == (1, 256, 256, 3)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+class TestLegacyTowers:
+    def test_decoder_encoder_parity(self):
+        ref = ref_module("model.model")
+        for RefCls, OurCls, shape in ((ref.Decoder, models.Decoder, (1, 16, 16, 64)),
+                                      (ref.Encoder, models.Encoder, (1, 8, 8, 64))):
+            t = RefCls()
+            j = OurCls()
+            check_parity_zoo(t, j, rand(*shape).astype(np.float32), train=True,
+                             atol=2e-3)
