@@ -13,10 +13,10 @@ import jax.numpy as jnp
 
 from srcgan_tpu import nn, ops
 
-# The source-grouped RDB5 forward is exact (same params, float-add
-# reassociation only) and ~2x faster on the MXU; the naive concat-chain form
-# is kept for A/B verification.
-FAST_RDB5 = True
+# RDB5 forward schedule: "paired" (default) > grouped (True) > naive (False).
+# All three are exact (same params, float-add reassociation only); measured on
+# v5e bf16 x4 RDDBNet forward: naive 93 MP/s, grouped 124, paired 128.
+FAST_RDB5 = "paired"
 
 
 def get_deconv_params(upscale_factor: int) -> Tuple[int, int, int]:
@@ -58,9 +58,61 @@ class ResidualDenseBlock5(nn.Module):
         return self.convs.init(key)
 
     def forward(self, p, x, train, lemda: float = 0.2):
+        if FAST_RDB5 == "paired":
+            return self._forward_paired(p, x, lemda)
         if FAST_RDB5:
             return self._forward_grouped(p, x, lemda)
         return self._forward_naive(p, x, lemda)
+
+    def _forward_paired(self, p, x, lemda: float = 0.2):
+        """Pair-grouped form — exact; keeps conv input widths >= 2*gc.
+
+        Profiling on v5e shows Cin=gc(32) convs reach only ~34 TFLOPS while
+        Cin=64 convs reach 80-150+ (the MXU contraction dim K = 9*Cin is too
+        shallow at 32).  This schedule defers each source's contributions to
+        later stages until a PAIR of sources exists, so the bulk of the FLOPs
+        run as Cin=2*gc convs:
+          x(nf)     -> [conv1 | s2..s5 parts]      nf  -> nf+4*gc
+          x1        -> s2 part                     gc  -> gc       (4% FLOPs)
+          [x1,x2]   -> s3..s5 parts                2gc -> 2gc+nf
+          x3        -> s4 part                     gc  -> gc       (4% FLOPs)
+          [x3,x4]   -> s5 parts                    2gc -> nf
+        Same parameters, float-add reassociation only.
+        """
+        nf, gc = self.nf, self.gc
+        lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+        W = [p[f"conv{i + 1}"]["w"] for i in range(5)]
+        b = [p[f"conv{i + 1}"].get("b") for i in range(5)]
+        badd = lambda v, bi: v if bi is None else v + bi
+
+        def wslice(i: int, s: int):
+            lo, hi = (0, nf) if s == 0 else (nf + (s - 1) * gc, nf + s * gc)
+            return W[i][:, :, lo:hi, :]
+
+        def wpair(i: int, s: int):
+            """conv_i weights for sources s and s+1 stacked on input ch."""
+            return jnp.concatenate([wslice(i, s), wslice(i, s + 1)], axis=2)
+
+        # x -> conv1 + its parts of conv2..5 (nf -> gc*4 + nf)
+        u_x = jnp.concatenate([W[0]] + [wslice(i, 0) for i in range(1, 5)], -1)
+        px = ops.conv2d(x, u_x, None, 1, 1)
+        p1, p2, p3, p4, p5 = (px[..., :gc], px[..., gc:2 * gc],
+                              px[..., 2 * gc:3 * gc], px[..., 3 * gc:4 * gc],
+                              px[..., 4 * gc:])
+        x1 = lrelu(badd(p1, b[0]))
+        q2 = ops.conv2d(x1, wslice(1, 1), None, 1, 1)          # gc -> gc
+        x2 = lrelu(badd(p2 + q2, b[1]))
+        x12 = jnp.concatenate([x1, x2], -1)
+        # [x1,x2] -> their parts of conv3..5 (2gc -> gc+gc+nf)
+        u12 = jnp.concatenate([wpair(2, 1), wpair(3, 1), wpair(4, 1)], -1)
+        r = ops.conv2d(x12, u12, None, 1, 1)
+        x3 = lrelu(badd(p3 + r[..., :gc], b[2]))
+        s4c = ops.conv2d(x3, wslice(3, 3), None, 1, 1)         # gc -> gc
+        x4 = lrelu(badd(p4 + r[..., gc:2 * gc] + s4c, b[3]))
+        x34 = jnp.concatenate([x3, x4], -1)
+        t = ops.conv2d(x34, wpair(4, 3), None, 1, 1)           # 2gc -> nf
+        x5 = badd(p5 + r[..., 2 * gc:] + t, b[4])
+        return x5 * lemda + x
 
     def _forward_naive(self, p, x, lemda: float = 0.2):
         """Literal concat-chain form (rddb.py:62-68)."""

@@ -227,3 +227,27 @@ class TestReferenceParity:
         t = ref_legacy.SRDenseNetB(3, 1, num_blocks=2, num_layers=2, mode="x2")
         j = models.SRDenseNetB(3, 1, num_blocks=2, num_layers=2, mode="x2")
         check_parity(t, j, rand(1, 16, 16, 3))
+
+
+class TestRDB5Schedules:
+    """The three RDB5 forward schedules are the same function."""
+
+    def test_all_forms_match(self):
+        from srcgan_tpu.models.blocks import ResidualDenseBlock5
+        m = ResidualDenseBlock5(64, 32)
+        p = m.init(jax.random.PRNGKey(3))
+        x = jnp.asarray(rand(2, 12, 12, 64))
+        a = m._forward_naive(p, x)
+        b = m._forward_grouped(p, x)
+        c = m._forward_paired(p, x)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=5e-6)
+
+    def test_no_bias_variant(self):
+        from srcgan_tpu.models.blocks import ResidualDenseBlock5
+        m = ResidualDenseBlock5(32, 16, bias=False)
+        p = m.init(jax.random.PRNGKey(4))
+        x = jnp.asarray(rand(1, 8, 8, 32))
+        a = m._forward_naive(p, x)
+        c = m._forward_paired(p, x)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=5e-6)
