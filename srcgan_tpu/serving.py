@@ -1,0 +1,118 @@
+"""Production inference: load a trained cascade and serve batched requests.
+
+The reference's only "serving" story is the per-sample eval loop in
+testCas.py.  This module packages the cascade as a deployable predictor:
+
+  - construct from our .npz checkpoints OR reference .pth state_dicts
+    (config parsed from the checkpoint filename, as the reference does);
+  - one jit-compiled program: uint8 in -> uint8 SR RGB out (all preprocessing,
+    the two networks, and the output quantization fused);
+  - bf16 compute mode for MXU throughput, fp32-highest for metric-grade output;
+  - optional batch padding so ragged request sizes hit one compiled shape;
+  - optional data-parallel sharding over a mesh for multi-chip serving.
+
+Example:
+    pred = CascadePredictor.from_checkpoints(
+        "checkpoints/RDDBNet_A2C_x4_0050.npz",
+        "checkpoints/ResDeconv_C2B_x4_0050.npz", bf16=True)
+    sr_u8 = pred.predict(gray_u8_batch)   # (N,h,w,{1|3}) -> (N,h*up,w*up,3)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srcgan_tpu import config, models, ops
+from srcgan_tpu.train.state import load_params, parse_checkpoint_name
+
+
+class CascadePredictor:
+    """SR -> colorize cascade with a single fused inference program."""
+
+    def __init__(self, sr_model, sr_params, c_model, c_params, up: int,
+                 lab: bool = False, bf16: bool = False, pad_batch_to: int = 0):
+        self.sr_model, self.c_model = sr_model, c_model
+        self.up, self.lab, self.bf16 = up, lab, bf16
+        self.pad = pad_batch_to
+        dtype = jnp.bfloat16 if bf16 else jnp.float32
+        self.sr_params = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                                sr_params)
+        self.c_params = jax.tree_util.tree_map(lambda a: a.astype(dtype),
+                                               c_params)
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_checkpoints(cls, netGA: str, netGB: str, bf16: bool = False,
+                         **kw) -> "CascadePredictor":
+        """Build from name-encoded checkpoints (.npz ours / .pth reference)."""
+        infoA = parse_checkpoint_name(netGA)
+        infoB = parse_checkpoint_name(netGB)
+        lab = infoA["ver"] == "G2LAB"
+        up = infoA["up"]
+        sr = models.create(infoA["model"], 1, 1, up)
+        c = models.create(infoB["model"], 1, 2 if lab else 3)
+        if netGA.endswith(".pth"):
+            from srcgan_tpu import interop
+
+            sr_p, _ = interop.import_torch_state_dict(sr, netGA)
+            c_p, _ = interop.import_torch_state_dict(c, netGB)
+        else:
+            sr_p = load_params(netGA, like=sr.init(jax.random.PRNGKey(0)))
+            c_p = load_params(netGB, like=c.init(jax.random.PRNGKey(0)))
+        return cls(sr, sr_p, c, c_p, up, lab=lab, bf16=bf16, **kw)
+
+    # -- the fused program ---------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def _run(self, sr_params, c_params, gray_u8):
+        with config.matmul_precision("default" if self.bf16 else "highest"):
+            x = gray_u8.astype(jnp.float32) / 255.0
+            if x.shape[-1] == 3:
+                x = ops.rgb_to_gray(x)
+            if self.bf16:
+                x = x.astype(jnp.bfloat16)
+            fake_c = self.sr_model.fwd(sr_params, x)
+            out = self.c_model.fwd(c_params, fake_c)
+            out = out.astype(jnp.float32)
+            if self.lab:
+                lab_img = jnp.concatenate([fake_c.astype(jnp.float32), out], -1)
+                rgb = ops.lab_norm_to_rgb(lab_img)
+            else:
+                rgb = jnp.clip(out, 0.0, 1.0)
+            return jnp.round(rgb * 255.0).astype(jnp.uint8)
+
+    def predict(self, gray_u8: np.ndarray) -> np.ndarray:
+        """(N, h, w, 1|3) uint8 LR gray (or RGB, luma taken) -> SR RGB uint8."""
+        n = gray_u8.shape[0]
+        if self.pad and n % self.pad:
+            reps = self.pad - n % self.pad
+            gray_u8 = np.concatenate(
+                [gray_u8, np.repeat(gray_u8[-1:], reps, axis=0)], axis=0)
+        out = self._run(self.sr_params, self.c_params, jnp.asarray(gray_u8))
+        return np.asarray(out[:n])
+
+
+class SpatialShardedPredictor(CascadePredictor):
+    """Cascade sharded over image height for tiles beyond one chip's HBM.
+
+    GSPMD inserts the conv halo exchanges; results match the unsharded
+    predictor exactly.
+    """
+
+    def __init__(self, *args, mesh=None, **kw):
+        super().__init__(*args, **kw)
+        from srcgan_tpu import parallel
+
+        self.mesh = mesh or parallel.make_mesh(
+            (jax.device_count(),), ("space",))
+        self._sharding = parallel.spatial_sharding(self.mesh)
+
+    @partial(jax.jit, static_argnums=0)
+    def _run(self, sr_params, c_params, gray_u8):
+        gray_u8 = jax.lax.with_sharding_constraint(gray_u8, self._sharding)
+        return super()._run.__wrapped__(self, sr_params, c_params, gray_u8)
