@@ -65,8 +65,6 @@ def main(argv=None):
     os.makedirs(save_dirA, exist_ok=True)
     os.makedirs(save_dirB, exist_ok=True)
 
-    evaluators = metrics.default_evaluators()
-
     @jax.jit
     def cascade(pA, pB, realA, realB):
         """Degradation replay + both-domain cascade (testCas.py:71-79)."""
@@ -86,37 +84,52 @@ def main(argv=None):
         fake_BB, _ = netG_C2B.apply(pB, fake_BC, train=False)
         return fake_AC, fake_AB, fake_BC, fake_BB
 
-    performs = [[] for _ in evaluators]
-    for idx in range(len(testset)):
-        src_u8, tar_u8 = testset.raw(idx)
+    # Batched eval with per-sample metrics reproduces the reference's bs=1
+    # protocol means exactly while amortizing dispatch (metrics.py per-sample
+    # forms; see test_metrics equivalence check).
+    from srcgan_tpu import data as data_mod
+    from srcgan_tpu.metrics import per_sample_evaluators
+
+    ps_evals = per_sample_evaluators()
+    performs = [[] for _ in ps_evals]
+    done = 0
+    for src_u8, tar_u8, idxs in data_mod.batches(testset, args.batch_size):
         realA, realB = preprocess.convert_pair(
-            jnp.asarray(src_u8[None]), jnp.asarray(tar_u8[None]), infoA["ver"])
+            jnp.asarray(src_u8), jnp.asarray(tar_u8), infoA["ver"])
         fake_AC, fake_AB, fake_BC, fake_BB = cascade(pA, pB, realA, realB)
 
         if lab:
             # metrics + save on L (+) ab concat (testCasLAB.py:84-98)
             pred = jnp.concatenate([fake_BC, fake_BB], axis=-1)
             tgt = realB
-            outB = vis.tensor2img(np.asarray(pred), "LAB",
-                                  dsize=pred.shape[1:3]).transpose(0, 1, 2)
-            outA = vis.tensor2img(
-                np.asarray(jnp.concatenate([fake_AC, fake_AB], -1)), "LAB",
-                dsize=fake_AB.shape[1:3])
         else:
             pred, tgt = fake_BB, realB
-            outB = vis.tensor2image_u8(np.asarray(fake_BB))
-            outA = vis.tensor2image_u8(np.asarray(fake_AB))
 
-        acc = ""
-        for i, ev in enumerate(evaluators):
-            val = np.asarray(ev(pred, tgt)).mean()
-            acc += " {}:{:0.2f};".format(repr(ev), float(val))
-            performs[i].append(float(val))
-        name = testset.datalist[idx]
-        vis.save_png(os.path.join(save_dirA, name), outA)
-        vis.save_png(os.path.join(save_dirB, name), outB)
-        sys.stdout.write("\rGenerated %s (%04d / %04d) >> %s" %
-                         (name, idx, len(testset), acc))
+        per_sample = [np.asarray(fn(pred, tgt)) for _, fn in ps_evals]
+        for j, idx in enumerate(idxs):
+            if lab:
+                outB = vis.tensor2img(np.asarray(pred[j:j + 1]), "LAB",
+                                      dsize=pred.shape[1:3])
+                outA = vis.tensor2img(
+                    np.asarray(jnp.concatenate(
+                        [fake_AC, fake_AB], -1)[j:j + 1]), "LAB",
+                    dsize=fake_AB.shape[1:3])
+            else:
+                outB = vis.tensor2image_u8(
+                    np.clip(np.asarray(fake_BB[j:j + 1]), 0, 1))
+                outA = vis.tensor2image_u8(
+                    np.clip(np.asarray(fake_AB[j:j + 1]), 0, 1))
+            acc = ""
+            for i, (ev_name, _) in enumerate(ps_evals):
+                val = float(per_sample[i][j])
+                acc += " {}:{:0.2f};".format(ev_name, val)
+                performs[i].append(val)
+            name = testset.datalist[int(idx)]
+            vis.save_png(os.path.join(save_dirA, name), outA)
+            vis.save_png(os.path.join(save_dirB, name), outB)
+            done += 1
+            sys.stdout.write("\rGenerated %s (%04d / %04d) >> %s" %
+                             (name, done - 1, len(testset), acc))
     sys.stdout.write("\n")
 
     # Performs.csv append (testCas.py:92-103)
@@ -126,7 +139,7 @@ def main(argv=None):
             os.path.basename(args.netGA).rsplit(".", 1)[0]] +
            [sum(p) / len(p) for p in performs]]
     df = pd.DataFrame(row, columns=["time", "checkpoint"] +
-                      [repr(e) for e in evaluators])
+                      [name for name, _ in ps_evals])
     log_path = os.path.join(args.result_dir, "Performs.csv")
     if os.path.exists(log_path):
         df = pd.concat([pd.read_csv(log_path), df], ignore_index=True)

@@ -139,3 +139,40 @@ class SSIM(_Metric):
 def default_evaluators():
     """The reference eval battery (testCas.py:63)."""
     return [MSE(), PSNR(), AE(), SSIM()]
+
+
+# ---------------------------------------------------------------------------
+# Per-sample forms: batched evaluation that reproduces the reference's
+# bs=1 protocol means exactly (testCas.py runs one sample at a time; the mean
+# of per-sample values equals its CSV average).
+# ---------------------------------------------------------------------------
+
+def mse_per_sample(y_pred, y_true):
+    return jnp.mean((y_pred - y_true) ** 2, axis=(1, 2, 3))
+
+
+def psnr_per_sample(y_pred, y_true):
+    return 10.0 * jnp.log10(1.0 / mse_per_sample(y_pred, y_true))
+
+
+def ae_per_sample(y_pred, y_true):
+    """angular_error already returns per-sample values."""
+    return angular_error(y_pred, y_true)
+
+
+def ssim_per_sample(y_pred, y_true, w_size: int = 11):
+    """Per-sample SSIM with PER-SAMPLE dynamic-range detection, matching what
+    the reference computes when fed one sample at a time.  Uses the portable
+    XLA form under vmap (the Pallas kernel's grid indexing doesn't batch)."""
+    import jax
+
+    def one(p, t):
+        return ssim_xla(p[None], t[None], w_size=w_size)
+
+    return jax.vmap(one)(y_pred, y_true)
+
+
+def per_sample_evaluators():
+    """[(csv_name, fn)] matching default_evaluators() under bs=1 replay."""
+    return [("MSE", mse_per_sample), ("PSNR", psnr_per_sample),
+            ("AE", ae_per_sample), ("SSIM", ssim_per_sample)]
