@@ -43,6 +43,9 @@ def build_parser():
     p.add_argument("--mesh-size", type=int, default=0,
                    help="devices on the data axis (0 = single device)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 MXU conv mode (fp32 params; ~4x step speedup "
+                        "on TPU vs fp32-highest)")
     p.add_argument("--resume", action="store_true",
                    help="resume from <checkpoints>/casstate_latest.npz "
                         "(full state: params + Adam moments + epoch)")
@@ -55,12 +58,14 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from srcgan_tpu import data, parallel
+    from srcgan_tpu import config, data, parallel
     from srcgan_tpu.data import preprocess
     from srcgan_tpu.train import CasTrainer, checkpoint_name, save_params
     from srcgan_tpu.train.state import load_train_state, save_train_state
     from srcgan_tpu.utils import Logger
 
+    if args.bf16:
+        config.set_conv_precision("default")
     ver = "G2LAB" if args.lab else "G2RGB"
     trainer = CasTrainer(sr_model=args.SRModel, c_model=args.CModel, up=args.up,
                          lr=args.lr, const=args.const, lab=args.lab,
