@@ -109,6 +109,14 @@ def main(argv=None):
             else:
                 # uint8-input fused step: preprocessing inside the step's jit
                 state, metrics = trainer.train_step_u8(state, src_u8, tar_u8, lr)
+            loss_now = float(metrics["loss_SR"]) + float(metrics["loss_C"])
+            if not np.isfinite(loss_now):
+                # failure detection (SURVEY.md §5.3): the reference would
+                # silently train on garbage; we stop, and with --resume the
+                # run restarts from the last full-state checkpoint.
+                raise RuntimeError(
+                    f"non-finite loss at epoch {epoch} it {it}; restart with "
+                    f"--resume to restore from {state_path}")
             for k in window:
                 window[k].append(float(metrics[k]))
             if it % args.log_every == 0:

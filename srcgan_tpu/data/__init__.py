@@ -7,10 +7,11 @@ from srcgan_tpu.data.dataset import (
     batches,
     load_dataset,
     make_synthetic_dataset,
+    normalize,
 )
 from srcgan_tpu.data import preprocess
 
 __all__ = [
     "DATASET_DIR", "FileListDataset", "G2LAB", "G2RGB", "batches",
-    "load_dataset", "make_synthetic_dataset", "preprocess",
+    "load_dataset", "make_synthetic_dataset", "normalize", "preprocess",
 ]

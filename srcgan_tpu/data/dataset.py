@@ -27,6 +27,12 @@ DATASET_DIR = os.environ.get(
         os.path.abspath(__file__)))), "dataset"))
 
 
+def normalize(arr: np.ndarray) -> np.ndarray:
+    """Min-max normalize to [0,1] (reference Basic.normalize, dataset.py:52-57)."""
+    mx, mi = np.max(arr), np.min(arr)
+    return (arr - mi) / (mx - mi)
+
+
 def _read_png(path: str) -> np.ndarray:
     from PIL import Image
 
