@@ -140,37 +140,95 @@ def import_torch_state_dict(model: nn.Module, path_or_dict, key=None
     return params, state
 
 
+def _paths_in_order(params, prefix=""):
+    out = []
+    for k, v in params.items():
+        if isinstance(v, dict):
+            out.extend(_paths_in_order(v, f"{prefix}{k}."))
+        else:
+            out.append((f"{prefix}{k}", params, k))
+    return out
+
+
+# our params-tree path components -> reference torch module names, where they
+# differ (most names were chosen to match already).
+_TORCH_NAME_MAP = {
+    "trunk": "RRDB_trunk",          # RDDBNet (rddb.py:90)
+    "upscale": "upscale_layers",    # RDDBNet (rddb.py:97)
+    "encoder": "RRDB_encoder",      # SRDN (srdn.py:59)
+    "decoder": "RRDB_decoder",      # SRDN (srdn.py:61)
+    "down_conv": "downsample.0",    # ResDeconv BasicBlock (resdeconv.py:158)
+    "down_bn": "downsample.1",
+    "w": "weight",
+    "b": "bias",
+    "scale": "weight",              # norm affine
+}
+
+
 def export_torch_state_dict(model: nn.Module, params, state=None
                             ) -> Dict[str, np.ndarray]:
-    """Inverse: our params -> an ordered dict of torch-layout arrays.
+    """Inverse of import: our params -> a REAL reference state_dict.
 
-    Keys are synthetic (slot-indexed) — sufficient for round-tripping into
-    tools that match by order; not a drop-in torch state_dict key map.
+    Keys follow the torch reference's module names (verified loadable with
+    strict=True for the exported zoo); tensors are converted back to torch
+    layouts (conv OIHW, deconv IOHW).  BatchNorm running stats come from
+    ``state`` when given.
     """
     out: Dict[str, np.ndarray] = {}
-    pslots = _slots_in_order(params)
-    pi = 0
+    paths = _paths_in_order(params)
+    state_paths = _paths_in_order(state) if state else []
+    pi, si = 0, 0
 
     def grab():
         nonlocal pi
-        d, k = pslots[pi]
+        path, d, k = paths[pi]
         pi += 1
-        return np.asarray(d[k])
+        return path, np.asarray(d[k])
 
-    for li, leaf in enumerate(nn.iter_leaf_modules(model)):
-        tag = f"{li}.{type(leaf).__name__}"
+    def grab_state():
+        nonlocal si
+        path, d, k = state_paths[si]
+        si += 1
+        return path, np.asarray(d[k])
+
+    def to_torch(path: str) -> str:
+        return ".".join(_TORCH_NAME_MAP.get(part, part)
+                        for part in path.split("."))
+
+    for leaf in nn.iter_leaf_modules(model):
+        from srcgan_tpu.models.edsr_zoo import MeanShift, PReLU
+
+        if isinstance(leaf, MeanShift):
+            continue  # frozen constants; reference load_state_dict(strict=False)
         if isinstance(leaf, nn.Conv2d):
-            out[f"{tag}.weight"] = grab().transpose(3, 2, 0, 1)
+            path, w = grab()
+            out[to_torch(path)] = w.transpose(3, 2, 0, 1)
             if leaf.use_bias:
-                out[f"{tag}.bias"] = grab()
+                path, b = grab()
+                out[to_torch(path)] = b
         elif isinstance(leaf, nn.ConvTranspose2d):
-            out[f"{tag}.weight"] = grab().transpose(2, 3, 0, 1)
+            path, w = grab()
+            out[to_torch(path)] = w.transpose(2, 3, 0, 1)
             if leaf.use_bias:
-                out[f"{tag}.bias"] = grab()
+                path, b = grab()
+                out[to_torch(path)] = b
         elif isinstance(leaf, (nn.GroupNorm, nn.BatchNorm2d)):
-            out[f"{tag}.weight"] = grab()
-            out[f"{tag}.bias"] = grab()
-        elif isinstance(leaf, nn.InstanceNorm2d) and leaf.affine:
-            out[f"{tag}.weight"] = grab()
-            out[f"{tag}.bias"] = grab()
+            for _ in range(2):
+                path, v = grab()
+                out[to_torch(path)] = v
+            if isinstance(leaf, nn.BatchNorm2d) and state_paths:
+                for stat in ("running_mean", "running_var"):
+                    path, v = grab_state()
+                    base = to_torch(path).rsplit(".", 1)[0]
+                    out[f"{base}.{stat}"] = v
+        elif isinstance(leaf, nn.InstanceNorm2d):
+            if leaf.affine:
+                for _ in range(2):
+                    path, v = grab()
+                    out[to_torch(path)] = v
+        elif isinstance(leaf, PReLU):
+            path, v = grab()
+            out[to_torch(path).replace(".alpha", ".weight")] = v
+        else:
+            raise TypeError(f"unhandled leaf module {type(leaf).__name__}")
     return out

@@ -92,3 +92,25 @@ def make_spatial_infer(model, mesh: Mesh, axis: str = "space"):
         return jax.lax.with_sharding_constraint(y, sp)
 
     return infer
+
+
+def make_cas_2d_step(trainer, mesh: Mesh, data_axis: str = "data",
+                     space_axis: str = "space"):
+    """2-D (data x space) sharded CasSRC train step via GSPMD.
+
+    Batch is sharded over `data_axis` AND image height over `space_axis` —
+    the combination of data parallelism with the image-domain analog of
+    sequence/context parallelism, for per-sample resolutions that exceed one
+    chip's HBM during training.  XLA inserts the gradient psums and the conv
+    halo exchanges (forward and backward) from the sharding constraints alone.
+    """
+    bsh = jax.NamedSharding(mesh, P(data_axis, space_axis))
+
+    @jax.jit
+    def step(state, realA, realB, lr):
+        realA = jax.lax.with_sharding_constraint(realA, bsh)
+        realB = jax.lax.with_sharding_constraint(realB, bsh)
+        grads, mstates, metrics = trainer.grads(state, realA, realB)
+        return trainer.apply_grads(state, grads, mstates, lr), metrics
+
+    return step

@@ -81,3 +81,44 @@ class TestImport:
         j = models.RDDBNet(1, 1, 2, nf=32, nb=2)  # wrong depth
         with pytest.raises(ValueError):
             interop.import_torch_state_dict(j, t.state_dict())
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+class TestExport:
+    """Our params -> real torch state_dict, strict-loadable by the reference."""
+
+    @pytest.mark.parametrize("name", ["RDDBNet", "SRDN", "ESPCN", "SRCNN",
+                                      "EDSR", "ResDeconv"])
+    def test_strict_load_and_output_match(self, name):
+        ref_mods = {
+            "RDDBNet": ("model.rddb", lambda m: m.RDDBNet(1, 1, 2, nf=32, nb=1),
+                        lambda: models.RDDBNet(1, 1, 2, nf=32, nb=1), (1, 8, 8, 1)),
+            "SRDN": ("model.srdn", lambda m: m.SRDN(1, 3, 2, nf=32, nb=1),
+                     lambda: models.SRDN(1, 3, 2, nf=32, nb=1), (1, 8, 8, 1)),
+            "ESPCN": ("model.espcn", lambda m: m.ESPCN(1, 3, 2),
+                      lambda: models.ESPCN(1, 3, 2), (1, 8, 8, 1)),
+            "SRCNN": ("model.srcnn", lambda m: m.SRCNN(3, 3, 2),
+                      lambda: models.SRCNN(3, 3, 2), (1, 8, 8, 3)),
+            "EDSR": ("model.edsr",
+                     lambda m: m.EDSR(1, 3, 2, base_channel=32, num_residuals=2),
+                     lambda: models.EDSR(1, 3, 2, base_channel=32,
+                                         num_residuals=2), (1, 8, 8, 1)),
+            "ResDeconv": ("model.resdeconv",
+                          lambda m: m.ResDeconv(src_ch=1, tar_ch=3),
+                          lambda: models.ResDeconv(1, 3), (1, 32, 32, 1)),
+        }
+        mod_name, mk_ref, mk_ours, shape = ref_mods[name]
+        ref_mod = ref_module(mod_name)
+        ours = mk_ours()
+        params = ours.init(jax.random.PRNGKey(5))
+        sd = interop.export_torch_state_dict(ours, params)
+        t = mk_ref(ref_mod)
+        t.load_state_dict({k: torch.from_numpy(v.copy())
+                           for k, v in sd.items()}, strict=True)
+        t.eval()
+        x = rand(*shape)
+        with torch.no_grad():
+            ref_out = t(nchw(x))
+        got, _ = ours.apply(params, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(got), nhwc(ref_out), atol=1e-3,
+                                   rtol=1e-3)

@@ -113,3 +113,21 @@ class TestCycleGANDP:
         st, dm = d_step(st, realA_lr, realB, aux["fake_A"], aux["fake_B"], 1e-5)
         assert np.isfinite(float(aux["loss_G"]))
         assert np.isfinite(float(dm["loss_D_A"]))
+
+
+class TestCas2D:
+    def test_2d_matches_single_device(self):
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st0 = tr.init(jax.random.PRNGKey(2))
+        realA, realB = make_batch(2, size=32)
+
+        st_copy = jax.tree_util.tree_map(jnp.array, st0)
+        st_single, m_single = tr.train_step(st_copy, realA, realB, 1e-4)
+
+        mesh = parallel.make_mesh((2, 4), ("data", "space"))
+        step = parallel.make_cas_2d_step(tr, mesh)
+        st_rep = parallel.put_replicated(st0, mesh)
+        st_2d, m_2d = step(st_rep, realA, realB, 1e-4)
+        np.testing.assert_allclose(float(m_single["loss_SR"]),
+                                   float(m_2d["loss_SR"]), rtol=1e-4)
+        tree_allclose(st_single.sr.params, st_2d.sr.params, atol=2e-4)
