@@ -17,7 +17,7 @@ bit-close by srcgan_tpu.ops.color (tested against skimage golden values).
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

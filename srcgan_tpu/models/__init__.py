@@ -12,7 +12,7 @@ RDDBNetA/RDDBNetB/NLayerDiscriminator/SRDenseNetA/SRDenseNetB — provided in
 """
 from __future__ import annotations
 
-from typing import Dict, Type
+from typing import Dict
 
 from srcgan_tpu.models.espcn import ESPCN, SRCNN
 from srcgan_tpu.models.edsr import EDSR

@@ -10,13 +10,13 @@ from __future__ import annotations
 
 import math
 from types import SimpleNamespace
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from srcgan_tpu import nn, ops
+from srcgan_tpu import nn
 
 
 def args_namespace(**kw) -> SimpleNamespace:

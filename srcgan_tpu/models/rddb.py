@@ -3,8 +3,6 @@ from __future__ import annotations
 
 import math
 
-import jax
-
 from srcgan_tpu import nn
 from srcgan_tpu.models.blocks import deconv, rrdb_trunk
 

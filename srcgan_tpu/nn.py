@@ -23,7 +23,7 @@ explicitly-initialized zoos, torch Conv2d defaults elsewhere).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ kernel:  H_out = (H_in - 1)*stride - 2*pad + k + output_padding.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -16,11 +16,7 @@ Both run unchanged on the CPU fake backend for testing.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 

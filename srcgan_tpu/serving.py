@@ -20,8 +20,6 @@ Example:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

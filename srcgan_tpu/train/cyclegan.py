@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import random as _random
 from functools import partial
-from typing import Any, Dict, List, NamedTuple, Tuple
+from typing import Any, List, NamedTuple, Tuple
 
 import numpy as np
 import jax

@@ -23,7 +23,6 @@ Reference quirks replicated deliberately (multi-task.py:331,339-340):
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import numpy as np
 import jax

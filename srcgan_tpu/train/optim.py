@@ -18,7 +18,6 @@ exposed as ``reference_lr``:
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
 
 import optax
 

@@ -91,3 +91,28 @@ class TestCycleGANDriver:
         ])
         assert os.path.exists(tmp_path / "ckpt_cyc" /
                               "netG_A2B_SRtask_x2_0001.npz")
+
+
+class TestCycleGANEval:
+    def test_eval_driver(self, synth, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import test_cyclegan
+        from srcgan_tpu import models
+        from srcgan_tpu.train import save_params
+        import jax
+
+        # fabricate generator checkpoints matching the 'SRdens' x2 config
+        g_a = models.SRDenseNetA(1, 3, mode="x2", num_blocks=2, num_layers=2)
+        g_b = models.SRDenseNetB(3, 1, mode="x2", num_blocks=2, num_layers=2)
+        netGA = str(tmp_path / "netG_A2B_SRtask_x2_0005.npz")
+        netGB = str(tmp_path / "netG_B2A_SRtask_x2_0005.npz")
+        save_params(netGA, g_a.init(jax.random.PRNGKey(0)))
+        save_params(netGB, g_b.init(jax.random.PRNGKey(1)))
+
+        test_cyclegan.main([
+            "--netGA", netGA, "--netGB", netGB, "--net", "SRdens",
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--result-dir", str(tmp_path / "result"),
+        ])
+        outs = os.listdir(tmp_path / "result")
+        assert any(d.startswith("cyc_fakeB_") for d in outs)
