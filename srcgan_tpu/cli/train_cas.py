@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--mesh-size", type=int, default=0,
                    help="devices on the data axis (0 = single device)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cache", action="store_true",
+                   help="decode PNGs once into a raw uint8 cache; later "
+                        "epochs memmap it (host-side decode is the feed "
+                        "bottleneck at TPU step rates)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MXU conv mode (fp32 params; ~4x step speedup "
                         "on TPU vs fp32-highest)")
@@ -90,6 +94,8 @@ def main(argv=None):
         trainset = data.FileListDataset(args.root, "train", ver, args.data_dir)
     else:
         trainset, _, _ = data.load_dataset(args.root, ver)
+    if args.cache:
+        trainset = data.CachedDataset(trainset)
     print(f"Starting Training Loop... ({len(trainset)} samples, ver={ver}, "
           f"const={args.const}, up={args.up})")
     logger = Logger(len(trainset), args.num_epochs)

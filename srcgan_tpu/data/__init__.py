@@ -1,5 +1,6 @@
 """Data layer: file-list datasets, on-device preprocessing, batching."""
 from srcgan_tpu.data.dataset import (
+    CachedDataset,
     DATASET_DIR,
     FileListDataset,
     G2LAB,
@@ -12,6 +13,6 @@ from srcgan_tpu.data.dataset import (
 from srcgan_tpu.data import preprocess
 
 __all__ = [
-    "DATASET_DIR", "FileListDataset", "G2LAB", "G2RGB", "batches",
+    "CachedDataset", "DATASET_DIR", "FileListDataset", "G2LAB", "G2RGB", "batches",
     "load_dataset", "make_synthetic_dataset", "normalize", "preprocess",
 ]

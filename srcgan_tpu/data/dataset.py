@@ -127,13 +127,18 @@ def load_dataset(root: str, ver: str = "G2RGB", mode: str = "training"):
 # Batch iteration (host side)
 # ---------------------------------------------------------------------------
 
-def batches(dataset: FileListDataset, batch_size: int, *, shuffle: bool = False,
-            seed: int = 0, drop_last: bool = False,
-            epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Yield (src_u8, tar_u8, idx) uint8 batches.  Deterministic per (seed, epoch)."""
+def batches(dataset, batch_size: int, *, shuffle: bool = False,
+            seed: int = 0, drop_last: bool = False, epoch: int = 0,
+            host_id: int = 0, num_hosts: int = 1,
+            ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (src_u8, tar_u8, idx) uint8 batches.  Deterministic per (seed,
+    epoch).  For multi-host DP, each host passes its (host_id, num_hosts) and
+    gets a disjoint strided shard of the (identically shuffled) order."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
+    if num_hosts > 1:
+        order = order[host_id::num_hosts]
     n = len(order)
     stop = n - (n % batch_size) if drop_last else n
     for start in range(0, stop, batch_size):
@@ -187,3 +192,42 @@ def make_synthetic_dataset(path: str, n_train: int = 8, n_val: int = 2,
         with open(os.path.join(path, f"{split}.txt"), "w") as f:
             f.write("\n".join(lst) + "\n")
     return root
+
+
+# ---------------------------------------------------------------------------
+# Raw decode cache: PNG decode is the host bottleneck (one CPU core must feed
+# a ~58 ms TPU train step).  First pass decodes and writes a uint8 .npy per
+# split; later passes memmap it (zero decode, zero copy until batching).
+# ---------------------------------------------------------------------------
+
+class CachedDataset:
+    """Wraps a FileListDataset with an on-disk uint8 raw cache."""
+
+    def __init__(self, dataset: FileListDataset, cache_dir: Optional[str] = None):
+        self.dataset = dataset
+        self.ver = dataset.ver
+        self.datalist = dataset.datalist
+        base = cache_dir or os.path.join(dataset.data_dir, dataset.root, ".cache")
+        os.makedirs(base, exist_ok=True)
+        self._src = self._build(os.path.join(base, f"{dataset.split}_src.npy"),
+                                which=0)
+        self._tar = self._build(os.path.join(base, f"{dataset.split}_tar.npy"),
+                                which=1)
+
+    def _build(self, path: str, which: int) -> np.ndarray:
+        n = len(self.dataset)
+        if not os.path.exists(path):
+            first = self.dataset.raw(0)[which]
+            arr = np.lib.format.open_memmap(
+                path, mode="w+", dtype=np.uint8, shape=(n, *first.shape))
+            arr[0] = first
+            for i in range(1, n):
+                arr[i] = self.dataset.raw(i)[which]
+            arr.flush()
+        return np.load(path, mmap_mode="r")
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def raw(self, idx: int):
+        return self._src[idx], self._tar[idx]

@@ -180,3 +180,31 @@ class TestMultiTask:
         st, _ = tr.optimize_parameters(st, realA, realB)
         after = np.asarray(jax.tree_util.tree_leaves(st.g.params["G_C"])[0])
         assert np.abs(after - before).max() > 0
+
+
+class TestCache:
+    def test_cached_dataset_matches(self, tmp_path):
+        data.make_synthetic_dataset(str(tmp_path / "S"), size=32)
+        ds = data.G2RGB("S", "train", data_dir=str(tmp_path))
+        cached = data.CachedDataset(ds)
+        for i in (0, 3):
+            s0, t0 = ds.raw(i)
+            s1, t1 = cached.raw(i)
+            np.testing.assert_array_equal(s0, s1)
+            np.testing.assert_array_equal(t0, t1)
+        # second construction uses the cache files
+        cached2 = data.CachedDataset(data.G2RGB("S", "train", data_dir=str(tmp_path)))
+        np.testing.assert_array_equal(cached2.raw(1)[0], ds.raw(1)[0])
+        # batches() works over the cache
+        b = next(iter(data.batches(cached, 4)))
+        assert b[0].shape == (4, 32, 32, 3)
+
+    def test_multi_host_sharding_disjoint(self, tmp_path):
+        data.make_synthetic_dataset(str(tmp_path / "S2"), size=16)
+        ds = data.G2RGB("S2", "train", data_dir=str(tmp_path))
+        seen = []
+        for h in range(2):
+            for _, _, idxs in data.batches(ds, 2, shuffle=True, seed=1,
+                                           host_id=h, num_hosts=2):
+                seen.extend(int(i) for i in idxs)
+        assert sorted(seen) == list(range(len(ds)))
