@@ -34,7 +34,8 @@ def main(argv=None):
 
     from srcgan_tpu import data, metrics, models
     from srcgan_tpu.data import preprocess
-    from srcgan_tpu.train.state import load_params, parse_checkpoint_name
+    from srcgan_tpu.interop import load_params_any
+    from srcgan_tpu.train.state import parse_checkpoint_name
     from srcgan_tpu.utils import vis
 
     infoA = parse_checkpoint_name(args.netGA)
@@ -43,8 +44,8 @@ def main(argv=None):
     sf = infoA["up"]
     netG_A2C = models.create(infoA["model"], 1, 1, sf)
     netG_C2B = models.create(infoB["model"], 1, 2 if lab else 3)
-    pA = load_params(args.netGA, like=netG_A2C.init(jax.random.PRNGKey(0)))
-    pB = load_params(args.netGB, like=netG_C2B.init(jax.random.PRNGKey(0)))
+    pA, _ = load_params_any(netG_A2C, args.netGA)
+    pB, _ = load_params_any(netG_C2B, args.netGB)
 
     testset = data.FileListDataset(args.root, "test", infoA["ver"], args.data_dir)
     out_dir = os.path.join(

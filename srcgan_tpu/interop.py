@@ -232,3 +232,15 @@ def export_torch_state_dict(model: nn.Module, params, state=None
         else:
             raise TypeError(f"unhandled leaf module {type(leaf).__name__}")
     return out
+
+
+def load_params_any(model: nn.Module, path: str, key=None):
+    """Load .npz (ours) or .pth (reference) into (params, model_state)."""
+    if path.endswith(".pth"):
+        return import_torch_state_dict(model, path, key=key)
+    import jax
+
+    from srcgan_tpu.train.state import load_params
+
+    like = model.init(key if key is not None else jax.random.PRNGKey(0))
+    return load_params(path, like=like), model.init_state()

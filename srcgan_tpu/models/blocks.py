@@ -18,6 +18,12 @@ from srcgan_tpu import nn, ops
 # v5e bf16 x4 RDDBNet forward: naive 93 MP/s, grouped 124, paired 128.
 FAST_RDB5 = "paired"
 
+# When True, each RRDB's forward is wrapped in jax.checkpoint: under grad, its
+# internal activations are recomputed during the backward instead of stored.
+# ~15% extra FLOPs on the trunk, ~15x less gradient memory per RRDB — the GAN
+# trainers enable it (six generator passes per step otherwise exhaust HBM).
+REMAT_RRDB = False
+
 
 def get_deconv_params(upscale_factor: int) -> Tuple[int, int, int]:
     """(kernel, stride, output_padding) per upscale factor — the reference's
@@ -185,10 +191,15 @@ class RRDB(nn.Module):
         return self.blocks.init(key)
 
     def forward(self, p, x, train, lemda: float = 0.2):
-        out = x
-        for name, blk in self.blocks.layers.items():
-            out = blk.forward(p[name], out, train)
-        return out * lemda + x
+        def run(p, x):
+            out = x
+            for name, blk in self.blocks.layers.items():
+                out = blk.forward(p[name], out, train)
+            return out * lemda + x
+
+        if REMAT_RRDB:
+            return jax.checkpoint(run)(p, x)
+        return run(p, x)
 
 
 def rrdb_trunk(nf: int, nb: int, gc: int = 32) -> nn.Sequential:

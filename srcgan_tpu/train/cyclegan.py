@@ -81,7 +81,12 @@ class CycleGANTrainer:
                  d_lr: float = 1e-5, beta1: float = 0.5, pool_size: int = 4,
                  lambda_identity: float = 1.0, lambda_a: float = 10.0,
                  lambda_b: float = 10.0, gan_mode: str = "lsgan",
-                 lr_policy: str = "cosine", num_epochs: int = 25):
+                 lr_policy: str = "cosine", num_epochs: int = 25,
+                 remat: bool = True):
+        self.remat = remat
+        if remat:
+            from srcgan_tpu.models import blocks as _blocks
+            _blocks.REMAT_RRDB = True
         self.net, self.mode = net, mode
         self.scale = 2 if mode == "x2" else 4
         self.lr, self.d_lr = lr, d_lr
@@ -153,8 +158,17 @@ class CycleGANTrainer:
         real_b_gray, real_a_rgb = self._identity_inputs(realA, realB)
 
         def loss_fn(gp):
-            g_a = lambda x: self.netG_A.fwd(gp["G_A"], x, train=True)
-            g_b = lambda x: self.netG_B.fwd(gp["G_B"], x, train=True)
+            # rematerialize each generator pass: six passes' activations would
+            # otherwise live simultaneously for the backward (HBM OOM at
+            # batch 4 x 256^2 on a 16 GB chip); remat trades ~1 extra forward
+            # per pass for per-pass peak memory (jax.checkpoint).
+            def mk(net, p):
+                f = lambda prm, v: net.fwd(prm, v, train=True)
+                return (lambda v: jax.checkpoint(f)(p, v)) if self.remat else (
+                    lambda v: f(p, v))
+
+            g_a = mk(self.netG_A, gp["G_A"])
+            g_b = mk(self.netG_B, gp["G_B"])
             fake_B = g_a(realA)
             recl_A = g_b(fake_B)
             fake_A = g_b(realB)

@@ -42,7 +42,11 @@ class MultiTaskTrainer:
                  lambda_b: float = 10.0, ngf: int = 64,
                  netG: str = "resnet_9blocks", norm: str = "instance",
                  gan_mode: str = "lsgan", lr_policy: str = "cosine",
-                 num_epochs: int = 25):
+                 num_epochs: int = 25, remat: bool = True):
+        self.remat = remat
+        if remat:
+            from srcgan_tpu.models import blocks as _blocks
+            _blocks.REMAT_RRDB = True
         self.mode = mode
         self.lr, self.d_lr = lr, d_lr
         self.lambda_identity = lambda_identity
@@ -84,9 +88,14 @@ class MultiTaskTrainer:
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def g_step(self, state: CycleState, realA, realB, lr):
         def loss_fn(gp):
-            g_a = lambda v: self.netG_A.fwd(gp["G_A"], v, train=True)
-            g_b = lambda v: self.netG_B.fwd(gp["G_B"], v, train=True)
-            g_c = lambda v: self.netG_C.fwd(gp["G_C"], v, train=True)
+            def mk(net, p):
+                f = lambda prm, v: net.fwd(prm, v, train=True)
+                return (lambda v: jax.checkpoint(f)(p, v)) if self.remat else (
+                    lambda v: f(p, v))
+
+            g_a = mk(self.netG_A, gp["G_A"])
+            g_b = mk(self.netG_B, gp["G_B"])
+            g_c = mk(self.netG_C, gp["G_C"])
             real_C = g_c(realA)
             fake_B = g_a(real_C)
             recl_A = g_b(fake_B)
