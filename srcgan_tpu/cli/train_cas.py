@@ -43,6 +43,9 @@ def build_parser():
     p.add_argument("--mesh-size", type=int, default=0,
                    help="devices on the data axis (0 = single device)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize network activations (jax.checkpoint) "
+                        "for large tiles / deep models")
     p.add_argument("--cache", action="store_true",
                    help="decode PNGs once into a raw uint8 cache; later "
                         "epochs memmap it (host-side decode is the feed "
@@ -73,7 +76,8 @@ def main(argv=None):
     ver = "G2LAB" if args.lab else "G2RGB"
     trainer = CasTrainer(sr_model=args.SRModel, c_model=args.CModel, up=args.up,
                          lr=args.lr, const=args.const, lab=args.lab,
-                         lr_policy=args.lr_policy, num_epochs=args.num_epochs)
+                         lr_policy=args.lr_policy, num_epochs=args.num_epochs,
+                         remat=args.remat)
     state = trainer.init(jax.random.PRNGKey(args.seed))
     start_epoch = 1
     state_path = os.path.join(args.checkpoints, "casstate_latest.npz")

@@ -38,6 +38,12 @@ def conv2d(x, w, b=None, stride: IntOr2 = 1, padding: IntOr2 = 0,
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     dh, dw = _pair(dilation)
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)  # mixed-precision: activations set compute dtype
+    # bf16 inputs: emit bf16 (the MXU still accumulates fp32 internally);
+    # requesting an f32 output would make the AD-generated gradient convs mix
+    # dtypes (f32 cotangent vs bf16 operands) and fail to lower.
+    pet = accum_dtype if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x, w,
         window_strides=(sh, sw),
@@ -45,7 +51,7 @@ def conv2d(x, w, b=None, stride: IntOr2 = 1, padding: IntOr2 = 0,
         rhs_dilation=(dh, dw),
         dimension_numbers=_DIMS,
         feature_group_count=groups,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=pet,
         precision=config.get_conv_precision(),
     )
     if b is not None:
@@ -65,6 +71,9 @@ def conv_transpose2d(x, w, b=None, stride: IntOr2 = 1, padding: IntOr2 = 0,
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     oph, opw = _pair(output_padding)
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)
+    pet = accum_dtype if x.dtype == jnp.float32 else None
     if (kh == kw == sh == sw) and (ph, pw) == (0, 0) and (oph, opw) == (0, 0):
         # Non-overlapping case (e.g. the reference's k2s2 x2 deconv): each
         # input pixel independently emits a k x k output patch, so the whole
@@ -77,7 +86,7 @@ def conv_transpose2d(x, w, b=None, stride: IntOr2 = 1, padding: IntOr2 = 0,
         w11 = w.transpose(2, 3, 0, 1).reshape(1, 1, cin, cout * kh * kw)
         y = lax.conv_general_dilated(
             x, w11, window_strides=(1, 1), padding=((0, 0), (0, 0)),
-            dimension_numbers=_DIMS, preferred_element_type=accum_dtype,
+            dimension_numbers=_DIMS, preferred_element_type=pet,
             precision=config.get_conv_precision(),
         )
         y = pixel_shuffle(y.astype(x.dtype), kh)
@@ -93,7 +102,7 @@ def conv_transpose2d(x, w, b=None, stride: IntOr2 = 1, padding: IntOr2 = 0,
         padding=(pad_h, pad_w),
         lhs_dilation=(sh, sw),
         dimension_numbers=_DIMS,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=pet,
         precision=config.get_conv_precision(),
     )
     if b is not None:

@@ -46,10 +46,13 @@ class CasTrainer:
     def __init__(self, sr_model: str = "ESPCN", c_model: str = "ResDeconv",
                  up: int = 2, lr: float = 1e-4, const: bool = False,
                  lab: bool = False, lr_policy: str = "cosine",
-                 num_epochs: int = 50):
+                 num_epochs: int = 50, remat: bool = False):
         self.sr_name, self.c_name = sr_model, c_model
         self.up, self.lr, self.const, self.lab = up, lr, const, lab
         self.lr_policy, self.num_epochs = lr_policy, num_epochs
+        # remat=True wraps each network apply in jax.checkpoint — trades one
+        # extra forward for activation memory; for large tiles / up=8.
+        self.remat = remat
         # trainCas.py:30-31 / trainCasLAB.py:31
         self.netG_A2C = models.create(sr_model, 1, 1, up)
         self.netG_C2B = models.create(c_model, 1, 2 if lab else 3)
@@ -94,15 +97,19 @@ class CasTrainer:
         real_BC, tgt_B = self._split_targets(realB)
         real_BA = self._degrade(real_BC)
 
+        def _apply(net, p, v, st):
+            f = lambda p_, v_: net.apply(p_, v_, state=st, train=True)
+            return jax.checkpoint(f)(p, v) if self.remat else f(p, v)
+
         def sr_loss(p, st):
-            fake_BC, st2 = self.netG_A2C.apply(p, real_BA, state=st, train=True)
+            fake_BC, st2 = _apply(self.netG_A2C, p, real_BA, st)
             return losses.l1(fake_BC, real_BC), (fake_BC, st2)
 
         (loss_sr, (fake_BC, sr_mstate)), g_sr = jax.value_and_grad(
             sr_loss, has_aux=True)(state.sr.params, state.sr_model_state)
 
         def c_loss(p, st):
-            fake_BB, st2 = self.netG_C2B.apply(p, real_BC, state=st, train=True)
+            fake_BB, st2 = _apply(self.netG_C2B, p, real_BC, st)
             return losses.l1(fake_BB, tgt_B), (fake_BB, st2)
 
         (loss_c, (fake_BB, c_mstate)), g_c = jax.value_and_grad(

@@ -82,8 +82,11 @@ class CycleGANTrainer:
                  lambda_identity: float = 1.0, lambda_a: float = 10.0,
                  lambda_b: float = 10.0, gan_mode: str = "lsgan",
                  lr_policy: str = "cosine", num_epochs: int = 25,
-                 remat: bool = True):
+                 remat: bool = True, act_dtype=None):
         self.remat = remat
+        # act_dtype=jnp.bfloat16 halves stored-activation memory for the
+        # six-pass backward (params stay fp32; convs accumulate fp32).
+        self.act_dtype = act_dtype
         if remat:
             from srcgan_tpu.models import blocks as _blocks
             _blocks.REMAT_RRDB = True
@@ -155,6 +158,9 @@ class CycleGANTrainer:
     def g_step(self, state: CycleState, realA, realB, lr):
         """Generator update with frozen discriminators; returns the generated
         images for the host-side pools."""
+        if self.act_dtype is not None:
+            realA = realA.astype(self.act_dtype)
+            realB = realB.astype(self.act_dtype)
         real_b_gray, real_a_rgb = self._identity_inputs(realA, realB)
 
         def loss_fn(gp):
@@ -163,6 +169,11 @@ class CycleGANTrainer:
             # batch 4 x 256^2 on a 16 GB chip); remat trades ~1 extra forward
             # per pass for per-pass peak memory (jax.checkpoint).
             def mk(net, p):
+                if self.act_dtype is not None:
+                    # bf16 compute with fp32 master params: cast per pass;
+                    # grads flow back through the cast to the fp32 masters.
+                    p = jax.tree_util.tree_map(
+                        lambda a: a.astype(self.act_dtype), p)
                 f = lambda prm, v: net.fwd(prm, v, train=True)
                 return (lambda v: jax.checkpoint(f)(p, v)) if self.remat else (
                     lambda v: f(p, v))
@@ -177,11 +188,14 @@ class CycleGANTrainer:
             iden_B = g_b(real_a_rgb)
 
             # D forwards in train mode (torch runs Ds in train() during the G
-            # step) but with frozen params/stats.
-            pred_fake_B, _ = self.netD_A.apply(state.d.params["D_A"], fake_B,
+            # step) but with frozen params/stats; D runs fp32 regardless of
+            # the generators' activation dtype.
+            pred_fake_B, _ = self.netD_A.apply(state.d.params["D_A"],
+                                               fake_B.astype(jnp.float32),
                                                state=state.d_model_state["D_A"],
                                                train=True)
-            pred_fake_A, _ = self.netD_B.apply(state.d.params["D_B"], fake_A,
+            pred_fake_A, _ = self.netD_B.apply(state.d.params["D_B"],
+                                               fake_A.astype(jnp.float32),
                                                state=state.d_model_state["D_B"],
                                                train=True)
             loss_g_a = losses.gan_loss(pred_fake_B, True, self.gan_mode)
@@ -226,6 +240,7 @@ class CycleGANTrainer:
             new_state = {}
 
             def d_losses(net, p, st, real, fake):
+                fake = fake.astype(real.dtype)
                 pred_real, st1 = net.apply(p, real, state=st, train=True)
                 l_real = losses.gan_loss(pred_real, True, self.gan_mode)
                 pred_fake, st2 = net.apply(p, jax.lax.stop_gradient(fake),

@@ -208,3 +208,19 @@ class TestCache:
                                            host_id=h, num_hosts=2):
                 seen.extend(int(i) for i in idxs)
         assert sorted(seen) == list(range(len(ds)))
+
+
+class TestMixedPrecision:
+    def test_cyclegan_bf16_activations(self):
+        """bf16 activations with fp32 master params: step runs and updates."""
+        from srcgan_tpu.train import CycleGANTrainer
+        tr = CycleGANTrainer(net="SRdens", mode="x2", act_dtype=jnp.bfloat16)
+        st = tr.init(jax.random.PRNGKey(0))
+        realA, realB = make_batch(n=1, size=32)
+        realA_lr = jnp.asarray(np.asarray(realA)[:, ::2, ::2, :])
+        before = np.asarray(jax.tree_util.tree_leaves(st.g.params)[0])
+        st, aux = tr.optimize_parameters(st, realA_lr, realB)
+        assert np.isfinite(float(aux["loss_G"]))
+        after = np.asarray(jax.tree_util.tree_leaves(st.g.params)[0])
+        assert after.dtype == np.float32  # master params stay fp32
+        assert np.abs(after - before).max() > 0
