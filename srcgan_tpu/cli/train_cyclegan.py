@@ -26,6 +26,9 @@ def build_parser():
     p.add_argument("--save-every", type=int, default=5)
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--checkpoints", type=str, default="./checkpoints")
+    p.add_argument("--bf16-acts", action="store_true",
+                   help="bf16 activations with fp32 master params (halves the "
+                        "six-pass backward memory; enables larger batches)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -45,7 +48,8 @@ def main(argv=None):
     root = args.root or f"Sat2Aer{args.mode}"
     trainer = CycleGANTrainer(net=args.net, mode=args.mode, lr=args.lr,
                               pool_size=args.pool_size,
-                              num_epochs=args.num_epochs)
+                              num_epochs=args.num_epochs,
+                              act_dtype=jnp.bfloat16 if args.bf16_acts else None)
     state = trainer.init(jax.random.PRNGKey(args.seed))
 
     trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)

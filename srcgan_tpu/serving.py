@@ -99,7 +99,7 @@ class SpatialShardedPredictor(CascadePredictor):
     """Cascade sharded over image height for tiles beyond one chip's HBM.
 
     GSPMD inserts the conv halo exchanges; results match the unsharded
-    predictor exactly.
+    predictor within uint8 rounding.
     """
 
     def __init__(self, *args, mesh=None, **kw):
@@ -113,4 +113,5 @@ class SpatialShardedPredictor(CascadePredictor):
     @partial(jax.jit, static_argnums=0)
     def _run(self, sr_params, c_params, gray_u8):
         gray_u8 = jax.lax.with_sharding_constraint(gray_u8, self._sharding)
-        return super()._run.__wrapped__(self, sr_params, c_params, gray_u8)
+        return CascadePredictor._run.__wrapped__(
+            self, sr_params, c_params, gray_u8)
