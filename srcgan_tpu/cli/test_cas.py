@@ -54,8 +54,8 @@ def main(argv=None):
     # build + load models from name-encoded config (testCas.py:52-58)
     netG_A2C = models.create(infoA["model"], 1, 1, sf)
     netG_C2B = models.create(infoB["model"], 1, 2 if lab else 3)
-    pA, _ = load_params_any(netG_A2C, args.netGA)
-    pB, _ = load_params_any(netG_C2B, args.netGB)
+    pA, stA = load_params_any(netG_A2C, args.netGA)
+    pB, stB = load_params_any(netG_C2B, args.netGB)
 
     testset = data.FileListDataset(args.root, "test", infoA["ver"],
                                    args.data_dir)
@@ -79,10 +79,10 @@ def main(argv=None):
         else:
             realBA = preprocess.degrade_nearest(realBC, sf)
             realAA = preprocess.degrade_nearest(realA, sf)
-        fake_AC, _ = netG_A2C.apply(pA, realAA, train=False)
-        fake_AB, _ = netG_C2B.apply(pB, fake_AC, train=False)
-        fake_BC, _ = netG_A2C.apply(pA, realBA, train=False)
-        fake_BB, _ = netG_C2B.apply(pB, fake_BC, train=False)
+        fake_AC, _ = netG_A2C.apply(pA, realAA, state=stA, train=False)
+        fake_AB, _ = netG_C2B.apply(pB, fake_AC, state=stB, train=False)
+        fake_BC, _ = netG_A2C.apply(pA, realBA, state=stA, train=False)
+        fake_BB, _ = netG_C2B.apply(pB, fake_BC, state=stB, train=False)
         return fake_AC, fake_AB, fake_BC, fake_BB
 
     # Batched eval with per-sample metrics reproduces the reference's bs=1

@@ -44,8 +44,8 @@ def main(argv=None):
     sf = infoA["up"]
     netG_A2C = models.create(infoA["model"], 1, 1, sf)
     netG_C2B = models.create(infoB["model"], 1, 2 if lab else 3)
-    pA, _ = load_params_any(netG_A2C, args.netGA)
-    pB, _ = load_params_any(netG_C2B, args.netGB)
+    pA, stA = load_params_any(netG_A2C, args.netGA)
+    pB, stB = load_params_any(netG_C2B, args.netGB)
 
     testset = data.FileListDataset(args.root, "test", infoA["ver"], args.data_dir)
     out_dir = os.path.join(
@@ -61,8 +61,8 @@ def main(argv=None):
         degrade = (preprocess.degrade_const_nearest if args.const
                    else preprocess.degrade_nearest)
         realBA = degrade(realBC, sf)
-        fake_BC, _ = netG_A2C.apply(pA, realBA, train=False)
-        fake_BB, _ = netG_C2B.apply(pB, fake_BC, train=False)
+        fake_BC, _ = netG_A2C.apply(pA, realBA, state=stA, train=False)
+        fake_BB, _ = netG_C2B.apply(pB, fake_BC, state=stB, train=False)
         if lab:
             pred = jnp.concatenate([fake_BC, fake_BB], -1)
         else:

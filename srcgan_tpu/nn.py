@@ -53,7 +53,13 @@ class Module:
         return self.forward(params, x, train), (state if state is not None else {})
 
     def fwd(self, params: Params, x, train: bool = False):
-        """Stateless application sugar; asserts the module holds no state."""
+        """Stateless application sugar.
+
+        For stateful modules (BatchNorm) this uses FRESH init-state stats and
+        discards updates — callers holding trained running stats must use
+        ``apply(..., state=...)`` instead (the eval drivers and the serving
+        predictor do).
+        """
         y, _ = self.apply(params, x, state=self.init_state(), train=train)
         return y
 

@@ -32,7 +32,8 @@ class CascadePredictor:
     """SR -> colorize cascade with a single fused inference program."""
 
     def __init__(self, sr_model, sr_params, c_model, c_params, up: int,
-                 lab: bool = False, bf16: bool = False, pad_batch_to: int = 0):
+                 lab: bool = False, bf16: bool = False, pad_batch_to: int = 0,
+                 sr_state=None, c_state=None):
         self.sr_model, self.c_model = sr_model, c_model
         self.up, self.lab, self.bf16 = up, lab, bf16
         self.pad = pad_batch_to
@@ -41,6 +42,10 @@ class CascadePredictor:
                                                 sr_params)
         self.c_params = jax.tree_util.tree_map(lambda a: a.astype(dtype),
                                                c_params)
+        # model state (BatchNorm running stats) from the checkpoint; empty
+        # for the GN-normed default zoo
+        self.sr_state = sr_state if sr_state is not None else sr_model.init_state()
+        self.c_state = c_state if c_state is not None else c_model.init_state()
 
     # -- constructors --------------------------------------------------------
 
@@ -54,15 +59,12 @@ class CascadePredictor:
         up = infoA["up"]
         sr = models.create(infoA["model"], 1, 1, up)
         c = models.create(infoB["model"], 1, 2 if lab else 3)
-        if netGA.endswith(".pth"):
-            from srcgan_tpu import interop
+        from srcgan_tpu.interop import load_params_any
 
-            sr_p, _ = interop.import_torch_state_dict(sr, netGA)
-            c_p, _ = interop.import_torch_state_dict(c, netGB)
-        else:
-            sr_p = load_params(netGA, like=sr.init(jax.random.PRNGKey(0)))
-            c_p = load_params(netGB, like=c.init(jax.random.PRNGKey(0)))
-        return cls(sr, sr_p, c, c_p, up, lab=lab, bf16=bf16, **kw)
+        sr_p, sr_st = load_params_any(sr, netGA)
+        c_p, c_st = load_params_any(c, netGB)
+        return cls(sr, sr_p, c, c_p, up, lab=lab, bf16=bf16,
+                   sr_state=sr_st, c_state=c_st, **kw)
 
     # -- the fused program ---------------------------------------------------
 
@@ -74,8 +76,10 @@ class CascadePredictor:
                 x = ops.rgb_to_gray(x)
             if self.bf16:
                 x = x.astype(jnp.bfloat16)
-            fake_c = self.sr_model.fwd(sr_params, x)
-            out = self.c_model.fwd(c_params, fake_c)
+            fake_c, _ = self.sr_model.apply(sr_params, x,
+                                            state=self.sr_state, train=False)
+            out, _ = self.c_model.apply(c_params, fake_c,
+                                        state=self.c_state, train=False)
             out = out.astype(jnp.float32)
             if self.lab:
                 lab_img = jnp.concatenate([fake_c.astype(jnp.float32), out], -1)
