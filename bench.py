@@ -201,6 +201,8 @@ def torch_rddb_mps() -> float:
 
 
 def main():
+    from srcgan_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     jax_res = bench_jax()
     train_res = bench_train()
     torch_mps = torch_rddb_mps()

@@ -62,6 +62,9 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from srcgan_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

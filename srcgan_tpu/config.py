@@ -42,3 +42,21 @@ def matmul_precision(name: str):
         yield
     finally:
         conv_precision = old
+
+
+def enable_compilation_cache(path: str = None) -> str:
+    """Enable JAX's persistent compilation cache (works through the axon
+    remote-compile relay: measured 4.0 s -> 0.2 s warm-start for a small
+    model).  CLI drivers and bench call this at startup."""
+    import os
+
+    import jax
+
+    path = path or os.environ.get(
+        "SRCGAN_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "srcgan_tpu", "jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path
