@@ -30,6 +30,10 @@ def build_parser():
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--result-dir", type=str, default="./result")
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--precision", type=str, default="highest",
+                   choices=["highest", "high", "default"],
+                   help="conv precision: highest=fp32 (metric-grade), "
+                        "high=3-pass bf16 (~fp32, ~2x faster), default=bf16")
     return p
 
 
@@ -43,12 +47,13 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from srcgan_tpu import data, metrics, models
+    from srcgan_tpu import config, data, metrics, models
     from srcgan_tpu.data import preprocess
     from srcgan_tpu.interop import load_params_any
     from srcgan_tpu.train.state import parse_checkpoint_name
     from srcgan_tpu.utils import vis
 
+    config.set_conv_precision(args.precision)
     infoA = parse_checkpoint_name(args.netGA)
     infoB = parse_checkpoint_name(args.netGB)
     lab = infoA["ver"] == "G2LAB"

@@ -84,3 +84,17 @@ def test_eval_protocol_matches_reference(tmp_path, monkeypatch):
     assert abs(float(row["SSIM"]) - ref_means["SSIM"]) < 1e-4
     assert abs(float(row["MSE"]) - ref_means["MSE"]) < 1e-5
     assert abs(float(row["AE"]) - ref_means["AE"]) < 0.05
+
+    # the fast eval mode (3-pass bf16 convs) must stay inside the parity bars
+    df2 = test_cas.main([
+        "--netGA", pthA, "--netGB", pthB,
+        "--root", "Sat2Aerx1", "--data-dir", str(tmp_path),
+        "--result-dir", str(tmp_path / "result_fast"), "--batch-size", "4",
+        "--precision", "high",
+    ])
+    row2 = df2.iloc[-1]
+    assert abs(float(row2["PSNR"]) - ref_means["PSNR"]) < 0.1
+    assert abs(float(row2["SSIM"]) - ref_means["SSIM"]) < 0.002
+
+    from srcgan_tpu import config
+    config.set_conv_precision("highest")
