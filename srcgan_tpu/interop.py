@@ -174,6 +174,19 @@ def export_torch_state_dict(model: nn.Module, params, state=None
     layouts (conv OIHW, deconv IOHW).  BatchNorm running stats come from
     ``state`` when given.
     """
+    import jax
+
+    # JAX pytree ops (tree_map, grad, device_get) return dicts in SORTED key
+    # order; the ordered walk below needs CONSTRUCTION order.  Reorder the
+    # incoming trees against a freshly-initialized template.
+    def _reorder(like, d):
+        return {k: (_reorder(v, d[k]) if isinstance(v, dict) else d[k])
+                for k, v in like.items()}
+
+    params = _reorder(model.init(jax.random.PRNGKey(0)), params)
+    if state:
+        state = _reorder(model.init_state(), state)
+
     out: Dict[str, np.ndarray] = {}
     paths = _paths_in_order(params)
     state_paths = _paths_in_order(state) if state else []

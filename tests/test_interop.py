@@ -122,3 +122,24 @@ class TestExport:
         got, _ = ours.apply(params, jnp.asarray(x), train=False)
         np.testing.assert_allclose(np.asarray(got), nhwc(ref_out), atol=1e-3,
                                    rtol=1e-3)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+def test_export_survives_tree_map_reordering():
+    """jax tree ops return sorted-key dicts; export must reorder internally."""
+    ref = ref_module("model.rddb")
+    j = models.RDDBNet(1, 1, 2, nf=32, nb=1)
+    params = j.init(jax.random.PRNGKey(0))
+    # round-trip through tree_map (sorts dict keys)
+    sorted_params = jax.tree_util.tree_map(lambda a: a, params)
+    sd = interop.export_torch_state_dict(j, sorted_params)
+    t = ref.RDDBNet(1, 1, 2, nf=32, nb=1)
+    t.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+                      strict=True)
+    t.eval()
+    x = rand(1, 8, 8, 1)
+    with torch.no_grad():
+        expect = t(nchw(x))
+    got = j.fwd(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), nhwc(expect), atol=5e-4,
+                               rtol=1e-3)
