@@ -231,3 +231,22 @@ class CachedDataset:
 
     def raw(self, idx: int):
         return self._src[idx], self._tar[idx]
+
+
+if __name__ == "__main__":
+    # Preview smoke main (reference dataset.py:289-310): renders side-by-side
+    # src|tar example PNGs for both dataset versions and prints tensor shapes.
+    import argparse
+
+    parser = argparse.ArgumentParser(description="ArgumentParser")
+    parser.add_argument("-idx", type=int, default=0)
+    parser.add_argument("-root", type=str, default="Sat2Aerx1")
+    parser.add_argument("--data-dir", type=str, default=None)
+    args = parser.parse_args()
+    for ver in ("G2RGB", "G2LAB"):
+        for split in ("train", "val", "test"):
+            ds = _VERSIONS[ver](args.root, split, data_dir=args.data_dir)
+            sample = ds[args.idx]
+            ds.show(args.idx)
+            print(f"Tensor size of {args.root}/{ver}/{split}")
+            print("\tsrc:", sample["src"].shape, "tar:", sample["tar"].shape)
