@@ -162,9 +162,16 @@ def ae_per_sample(y_pred, y_true):
 
 def ssim_per_sample(y_pred, y_true, w_size: int = 11):
     """Per-sample SSIM with PER-SAMPLE dynamic-range detection, matching what
-    the reference computes when fed one sample at a time.  Uses the portable
-    XLA form under vmap (the Pallas kernel's grid indexing doesn't batch)."""
+    the reference computes when fed one sample at a time.  On TPU this runs
+    the fused Pallas kernel with per-sample ranges; elsewhere the portable
+    XLA form under vmap."""
     import jax
+
+    if jax.default_backend() == "tpu":
+        from srcgan_tpu.ops.pallas.ssim_kernel import ssim_pallas
+
+        return ssim_pallas(y_pred, y_true, w_size=w_size, size_average=False,
+                           per_sample_range=True)
 
     def one(p, t):
         return ssim_xla(p[None], t[None], w_size=w_size)

@@ -38,8 +38,8 @@ def _ssim_plane_kernel(l_ref, pred_ref, true_ref, ssim_sum_ref, cs_sum_ref,
                        *, taps, w_size):
     x = pred_ref[0].astype(jnp.float32)
     y = true_ref[0].astype(jnp.float32)
-    dyn_l = l_ref[0]
     plane = pl.program_id(0)
+    dyn_l = l_ref[plane]
     h, w = x.shape
     vw = w - (w_size - 1)  # valid width
     vh = h - (w_size - 1)
@@ -71,17 +71,31 @@ def _ssim_plane_kernel(l_ref, pred_ref, true_ref, ssim_sum_ref, cs_sum_ref,
 
 
 @partial(jax.jit,
-         static_argnames=("w_size", "size_average", "full", "interpret"))
+         static_argnames=("w_size", "size_average", "full", "per_sample_range",
+                          "interpret"))
 def ssim_pallas(y_pred, y_true, w_size: int = 11, size_average: bool = True,
-                full: bool = False, interpret: bool = False):
-    """Drop-in fused replacement for srcgan_tpu.metrics.ssim (NHWC)."""
+                full: bool = False, per_sample_range: bool = False,
+                interpret: bool = False):
+    """Drop-in fused replacement for srcgan_tpu.metrics.ssim (NHWC).
+
+    per_sample_range=True detects the dynamic range PER SAMPLE (what the
+    reference computes when fed one sample at a time — the batched-eval
+    protocol) instead of over the whole batch.
+    """
     n, h, w, c = y_pred.shape
     nc = n * c
     taps = _gauss_taps(w_size)
 
-    max_val = jnp.where(jnp.max(y_pred) > 128.0, 255.0, 1.0)
-    min_val = jnp.where(jnp.min(y_pred) < -0.5, -1.0, 0.0)
-    dyn_l = (max_val - min_val).reshape(1)
+    if per_sample_range:
+        mx = jnp.max(y_pred, axis=(1, 2, 3))
+        mn = jnp.min(y_pred, axis=(1, 2, 3))
+        max_val = jnp.where(mx > 128.0, 255.0, 1.0)
+        min_val = jnp.where(mn < -0.5, -1.0, 0.0)
+        dyn_l = jnp.repeat(max_val - min_val, c)          # (nc,)
+    else:
+        max_val = jnp.where(jnp.max(y_pred) > 128.0, 255.0, 1.0)
+        min_val = jnp.where(jnp.min(y_pred) < -0.5, -1.0, 0.0)
+        dyn_l = jnp.full((nc,), max_val - min_val)
 
     # planes layout: (N*C, H, W) so each block is a full (H, W) plane —
     # satisfies the TPU lowering's last-two-dims constraint.

@@ -240,3 +240,17 @@ class TestPallasSSIM:
         ref = ssim_xla(a, b, size_average=False)
         got = ssim_pallas(a, b, size_average=False, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    def test_per_sample_range_interpret(self):
+        """Pallas per-sample dynamic range == bs=1 replay (mixed ranges)."""
+        from srcgan_tpu.metrics import ssim_xla
+        from srcgan_tpu.ops.pallas.ssim_kernel import ssim_pallas
+        a0 = rand(1, 24, 24, 3, positive=True)
+        a1 = rand(1, 24, 24, 3, positive=True) * 255.0
+        b = rand(2, 24, 24, 3, positive=True)
+        a = jnp.asarray(np.concatenate([a0, a1]))
+        got = ssim_pallas(a, jnp.asarray(b), size_average=False,
+                          per_sample_range=True, interpret=True)
+        ref = np.array([float(ssim_xla(a[i:i + 1], jnp.asarray(b[i:i + 1])))
+                        for i in range(2)])
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-6)
