@@ -5,6 +5,17 @@ import math
 
 from srcgan_tpu import nn
 from srcgan_tpu.models.blocks import deconv, rrdb_trunk
+from srcgan_tpu.ops import fused
+
+# When True, the upsample tail (log2(r) x [k2s2 deconv + LeakyReLU] +
+# conv_last) runs phase-folded at trunk resolution (ops.fused.
+# phasefold_deconv_tail) — exact up to float-add reassociation, and
+# differentiable.  Measured on v5e bf16 x4 (batch 8, 128^2): materialized
+# tail 7.0 ms -> folded 2.8 ms of a 16.7 ms forward.
+PHASEFOLD_TAIL = True
+# r=8 folds the deconvs but materializes before conv_last: the fully-folded
+# last conv would be a (3,3,64*nf,64*ou) conv — 16x the useful FLOPs.
+MAX_FOLD_LAST_R = 4
 
 
 class RDDBNet(nn.Module):
@@ -37,6 +48,13 @@ class RDDBNet(nn.Module):
         trunk = m["trunk_conv"].fwd(p["trunk_conv"],
                                     m["trunk"].fwd(p["trunk"], fea, train))
         fea = fea + trunk
-        if self.upscale_factor != 1:
-            fea = m["upscale"].fwd(p["upscale"], fea, train)
+        if self.upscale_factor == 1:
+            return m["conv_last"].fwd(p["conv_last"], fea)
+        if PHASEFOLD_TAIL:
+            n_up = int(math.log2(self.upscale_factor))
+            dws = [p["upscale"][str(2 * i)]["w"] for i in range(n_up)]
+            return fused.phasefold_deconv_tail(
+                fea, dws, p["conv_last"]["w"], p["conv_last"].get("b"),
+                alpha=0.2, fold_last=self.upscale_factor <= MAX_FOLD_LAST_R)
+        fea = m["upscale"].fwd(p["upscale"], fea, train)
         return m["conv_last"].fwd(p["conv_last"], fea)

@@ -5,6 +5,9 @@ better onto the TPU: fewer HBM materializations, wider matmul lanes.
 """
 from __future__ import annotations
 
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 
 from srcgan_tpu.ops.conv import conv2d, pixel_shuffle
@@ -52,3 +55,97 @@ def nearest_up2_conv3x3(x, w, b=None):
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
+
+
+def phasefold_deconv_tail(x, deconv_ws, last_w, last_b=None, alpha: float = 0.2,
+                          fold_last: bool = True):
+    """The RDDBNet upsample tail — log2(r) x [ConvTranspose2d k2s2 (no bias) +
+    LeakyReLU(alpha)] + conv3x3 (reference rddb.py:93-98) — computed ENTIRELY
+    at input resolution ("phase space"), exactly.
+
+    Why: the materialized form writes (r*H)^2 x nf tensors to HBM after every
+    deconv (268 MB at 512^2) and runs pixel-shuffle 6-D transposes at full
+    resolution; measured 7.0 ms of a 16.7 ms x4 forward at ~3 TFLOPS.  Here
+    each k2s2 deconv is a 1x1 conv whose output keeps the r^2 phases packed
+    in channel blocks (block beta = nf channels of one output phase), the
+    LeakyReLU is pointwise (commutes with the packing), and the final 3x3
+    conv is re-indexed onto the phase grid: a tap (dy,dx) at full resolution
+    is a (cell-offset, phase, block) triple at input resolution, assembled
+    into one statically-scattered (3,3, r^2*nf, ou*r^2) weight.  One small
+    pixel-shuffle of the ou-channel output materializes the image.
+
+    x: (N,H,W,nf);  deconv_ws: [(2,2,nf,nf), ...] torch-layout transposed-conv
+    weights;  last_w: (3,3,nf,ou).  Exact up to float-add reassociation.
+    fold_last=False pixel-shuffles after the deconv folds and runs the last
+    conv at full resolution (for large r, where the folded conv's r^2*ou
+    output lanes would underfill the MXU).
+    """
+    nf = x.shape[-1]
+    t = x
+    phases = [(0, 0)]  # channel-block index -> output phase (Py, Px)
+    r = 1
+    for w in deconv_ws:
+        kh, kw, cin, cout = w.shape
+        assert (kh, kw) == (2, 2) and cin == nf and cout == nf, w.shape
+        # (2,2,nf,nf) -> (1,1,nf, 4nf) with out channel = (ty*2+tx)*nf + co:
+        # out pixel (2i+ty, 2j+tx, co) = sum_ci t[i,j,ci] * w[ty,tx,ci,co].
+        tile = w.astype(t.dtype).transpose(2, 0, 1, 3).reshape(1, 1, nf, 4 * nf)
+        g = len(phases)
+        if g == 1:
+            t = conv2d(t, tile, None, 1, 0)
+        else:
+            # one grouped 1x1 conv: every phase block gets the same deconv.
+            t = conv2d(t, jnp.tile(tile, (1, 1, 1, g)), None, 1, 0, groups=g)
+        t = jax.nn.leaky_relu(t, alpha)
+        phases = [(2 * py + ty, 2 * px + tx)
+                  for (py, px) in phases for ty in (0, 1) for tx in (0, 1)]
+        r *= 2
+
+    g = len(phases)
+    assert last_w.shape[:2] == (3, 3) and last_w.shape[2] == nf, last_w.shape
+    ou = last_w.shape[3]
+
+    if not fold_last:
+        # un-interleave blocks into pixel_shuffle order (co*r^2 + Py*r + Px)
+        if r > 1:
+            order = {ph: b for b, ph in enumerate(phases)}
+            # channel c = co*r^2 + Py*r + Px  <-  block*nf + co
+            perm = np.empty(g * nf, np.int32)
+            for co in range(nf):
+                for py in range(r):
+                    for px in range(r):
+                        perm[co * r * r + py * r + px] = order[(py, px)] * nf + co
+            t = pixel_shuffle(t[..., perm], r)
+        return conv2d(t, last_w, last_b, 1, 1)
+
+    # fold the last conv: full-res tap (dy,dx) on out phase (Pyo,Pxo) reads
+    # input phase Pyi=(Pyo+dy) mod r at cell offset oy=(Pyo+dy-Pyi)/r.
+    oy_l, ox_l, b_l, ph_l, dy_l, dx_l = [], [], [], [], [], []
+    for beta, (pyi, pxi) in enumerate(phases):
+        for pyo in range(r):
+            for pxo in range(r):
+                for dy in (-1, 0, 1):
+                    if (pyo + dy - pyi) % r:
+                        continue
+                    oy = (pyo + dy - pyi) // r
+                    if abs(oy) > 1:
+                        continue
+                    for dx in (-1, 0, 1):
+                        if (pxo + dx - pxi) % r:
+                            continue
+                        ox = (pxo + dx - pxi) // r
+                        if abs(ox) > 1:
+                            continue
+                        oy_l.append(oy + 1); ox_l.append(ox + 1)
+                        b_l.append(beta); ph_l.append(pyo * r + pxo)
+                        dy_l.append(dy + 1); dx_l.append(dx + 1)
+    vals = last_w.astype(t.dtype)[np.asarray(dy_l), np.asarray(dx_l)]  # (K,nf,ou)
+    wf = jnp.zeros((3, 3, g, nf, r * r, ou), t.dtype)
+    wf = wf.at[np.asarray(oy_l), np.asarray(ox_l), np.asarray(b_l), :,
+               np.asarray(ph_l), :].set(vals)
+    # in channel = beta*nf + ci; out channel = co*r^2 + phase (pixel_shuffle)
+    wf = wf.transpose(0, 1, 2, 3, 5, 4).reshape(3, 3, g * nf, ou * r * r)
+    y = conv2d(t, wf, None, 1, 1)
+    if last_b is not None:
+        y = y + jnp.repeat(last_b.astype(y.dtype), r * r)
+    return pixel_shuffle(y, r)

@@ -37,3 +37,62 @@ class TestFusedPreprocess:
         g, low = fused_gray_degrade(tar_u8, up, interpret=True)
         np.testing.assert_allclose(np.asarray(g), np.asarray(real_bc), atol=1e-6)
         np.testing.assert_allclose(np.asarray(low), np.asarray(real_ba), atol=1e-6)
+
+
+class TestPhasefoldTail:
+    """phasefold_deconv_tail == materialized deconv tail (reference
+    rddb.py:93-98 semantics), values AND gradients, all scales."""
+
+    @pytest.mark.parametrize("n_up,ou,fold_last",
+                             [(1, 1, True), (1, 3, True), (2, 1, True),
+                              (2, 3, True), (2, 1, False), (3, 1, False)])
+    def test_matches_materialized(self, n_up, ou, fold_last):
+        from srcgan_tpu.ops.fused import phasefold_deconv_tail
+        nf = 16
+        x = jnp.asarray(RNG.standard_normal((2, 6, 6, nf)).astype(np.float32))
+        dws = [jnp.asarray(RNG.standard_normal((2, 2, nf, nf)).astype(np.float32) * .2)
+               for _ in range(n_up)]
+        lw = jnp.asarray(RNG.standard_normal((3, 3, nf, ou)).astype(np.float32) * .2)
+
+        def materialized(x, dws, lw):
+            t = x
+            for w in dws:
+                t = jax.nn.leaky_relu(ops.conv_transpose2d(t, w, None, 2, 0, 0), 0.2)
+            return ops.conv2d(t, lw, None, 1, 1)
+
+        def folded(x, dws, lw):
+            return phasefold_deconv_tail(x, dws, lw, fold_last=fold_last)
+
+        ref = materialized(x, dws, lw)
+        got = folded(x, dws, lw)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+        # gradients (training runs through this path)
+        loss_m = lambda *a: jnp.sum(materialized(*a) ** 2)
+        loss_f = lambda *a: jnp.sum(folded(*a) ** 2)
+        gm = jax.grad(loss_m, argnums=(0, 1, 2))(x, dws, lw)
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, dws, lw)
+        for a, b in zip(jax.tree_util.tree_leaves(gm),
+                        jax.tree_util.tree_leaves(gf)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_rddbnet_fold_flag_equivalence(self):
+        """RDDBNet forward identical with the tail fold on and off."""
+        from srcgan_tpu.models import rddb
+        x = jnp.asarray(RNG.standard_normal((1, 8, 8, 1)).astype(np.float32))
+        for up in (2, 4, 8):
+            model = rddb.RDDBNet(1, 1, up, nf=16, nb=1)
+            params = model.init(jax.random.PRNGKey(up))
+            old = rddb.PHASEFOLD_TAIL
+            try:
+                rddb.PHASEFOLD_TAIL = True
+                y1 = model.fwd(params, x)
+                rddb.PHASEFOLD_TAIL = False
+                y0 = model.fwd(params, x)
+            finally:
+                rddb.PHASEFOLD_TAIL = old
+            np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                       atol=1e-5, rtol=1e-5)
