@@ -3,9 +3,12 @@ from __future__ import annotations
 
 import math
 
+import jax
+
 from srcgan_tpu import nn
 from srcgan_tpu.models.blocks import deconv, rrdb_trunk
 from srcgan_tpu.ops import fused
+from srcgan_tpu.ops.pallas import tail_kernel
 
 # When True, the upsample tail (log2(r) x [k2s2 deconv + LeakyReLU] +
 # conv_last) runs phase-folded at trunk resolution (ops.fused.
@@ -16,6 +19,11 @@ PHASEFOLD_TAIL = True
 # r=8 folds the deconvs but materializes before conv_last: the fully-folded
 # last conv would be a (3,3,64*nf,64*ou) conv — 16x the useful FLOPs.
 MAX_FOLD_LAST_R = 4
+# Eval-only Pallas kernel for the x4 bf16 tail on TPU (three chained VMEM
+# matmuls per phase block; ops/pallas/tail_kernel.py).  Measured v5e, batch 8,
+# 128^2 trunk: materialized 7.0 ms -> XLA fold 2.8 ms -> Pallas 0.85 ms.
+# Training always uses the differentiable XLA fold.
+PALLAS_TAIL = True
 
 
 class RDDBNet(nn.Module):
@@ -53,8 +61,13 @@ class RDDBNet(nn.Module):
         if PHASEFOLD_TAIL:
             n_up = int(math.log2(self.upscale_factor))
             dws = [p["upscale"][str(2 * i)]["w"] for i in range(n_up)]
+            lw, lb = p["conv_last"]["w"], p["conv_last"].get("b")
+            if (PALLAS_TAIL and not train and n_up == 2
+                    and tail_kernel.supported(fea.shape, 4, fea.dtype)
+                    and jax.default_backend() == "tpu"):
+                return tail_kernel.tail_x4_fused(fea, dws[0], dws[1], lw, lb)
             return fused.phasefold_deconv_tail(
-                fea, dws, p["conv_last"]["w"], p["conv_last"].get("b"),
+                fea, dws, lw, lb,
                 alpha=0.2, fold_last=self.upscale_factor <= MAX_FOLD_LAST_R)
         fea = m["upscale"].fwd(p["upscale"], fea, train)
         return m["conv_last"].fwd(p["conv_last"], fea)

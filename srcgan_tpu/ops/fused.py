@@ -118,8 +118,32 @@ def phasefold_deconv_tail(x, deconv_ws, last_w, last_b=None, alpha: float = 0.2,
             t = pixel_shuffle(t[..., perm], r)
         return conv2d(t, last_w, last_b, 1, 1)
 
-    # fold the last conv: full-res tap (dy,dx) on out phase (Pyo,Pxo) reads
-    # input phase Pyi=(Pyo+dy) mod r at cell offset oy=(Pyo+dy-Pyi)/r.
+    wf = fold_last_weight(phases, last_w, r, nf, t.dtype)
+    y = conv2d(t, wf, None, 1, 1)
+    if last_b is not None:
+        y = y + jnp.repeat(last_b.astype(y.dtype), r * r)
+    return pixel_shuffle(y, r)
+
+
+def tail_phases(n_up: int):
+    """Channel-block -> output-phase map after n_up folded k2s2 deconvs."""
+    phases = [(0, 0)]
+    for _ in range(n_up):
+        phases = [(2 * py + ty, 2 * px + tx)
+                  for (py, px) in phases for ty in (0, 1) for tx in (0, 1)]
+    return phases
+
+
+def fold_last_weight(phases, last_w, r: int, nf: int, dtype):
+    """(3,3,nf,ou) conv_last re-indexed onto the r x r phase grid.
+
+    A full-res tap (dy,dx) on out phase (Pyo,Pxo) reads input phase
+    Pyi=(Pyo+dy) mod r at cell offset oy=(Pyo+dy-Pyi)/r.  Returns a
+    (3,3, r^2*nf, ou*r^2) weight: input channel beta*nf+ci in the `phases`
+    block order; output channel co*r^2+phase (pixel_shuffle order).
+    """
+    g = len(phases)
+    ou = last_w.shape[3]
     oy_l, ox_l, b_l, ph_l, dy_l, dx_l = [], [], [], [], [], []
     for beta, (pyi, pxi) in enumerate(phases):
         for pyo in range(r):
@@ -139,13 +163,8 @@ def phasefold_deconv_tail(x, deconv_ws, last_w, last_b=None, alpha: float = 0.2,
                         oy_l.append(oy + 1); ox_l.append(ox + 1)
                         b_l.append(beta); ph_l.append(pyo * r + pxo)
                         dy_l.append(dy + 1); dx_l.append(dx + 1)
-    vals = last_w.astype(t.dtype)[np.asarray(dy_l), np.asarray(dx_l)]  # (K,nf,ou)
-    wf = jnp.zeros((3, 3, g, nf, r * r, ou), t.dtype)
+    vals = last_w.astype(dtype)[np.asarray(dy_l), np.asarray(dx_l)]  # (K,nf,ou)
+    wf = jnp.zeros((3, 3, g, nf, r * r, ou), dtype)
     wf = wf.at[np.asarray(oy_l), np.asarray(ox_l), np.asarray(b_l), :,
                np.asarray(ph_l), :].set(vals)
-    # in channel = beta*nf + ci; out channel = co*r^2 + phase (pixel_shuffle)
-    wf = wf.transpose(0, 1, 2, 3, 5, 4).reshape(3, 3, g * nf, ou * r * r)
-    y = conv2d(t, wf, None, 1, 1)
-    if last_b is not None:
-        y = y + jnp.repeat(last_b.astype(y.dtype), r * r)
-    return pixel_shuffle(y, r)
+    return wf.transpose(0, 1, 2, 3, 5, 4).reshape(3, 3, g * nf, ou * r * r)

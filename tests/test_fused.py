@@ -96,3 +96,26 @@ class TestPhasefoldTail:
                 rddb.PHASEFOLD_TAIL = old
             np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                        atol=1e-5, rtol=1e-5)
+
+
+class TestPallasTailKernel:
+    """tail_x4_fused (interpret mode) == XLA phasefold, bf16-rounding level."""
+
+    @pytest.mark.parametrize("ou", [1, 3])
+    def test_matches_xla_fold(self, ou):
+        from srcgan_tpu.ops.fused import phasefold_deconv_tail
+        from srcgan_tpu.ops.pallas.tail_kernel import tail_x4_fused
+        nf = 16
+        x = jnp.asarray(RNG.standard_normal((2, 16, 16, nf)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        d1 = jnp.asarray(RNG.standard_normal((2, 2, nf, nf)).astype(np.float32) * .2)
+        d2 = jnp.asarray(RNG.standard_normal((2, 2, nf, nf)).astype(np.float32) * .2)
+        lw = jnp.asarray(RNG.standard_normal((3, 3, nf, ou)).astype(np.float32) * .2)
+        lb = jnp.asarray(RNG.standard_normal(ou).astype(np.float32))
+        ref = np.asarray(phasefold_deconv_tail(x, [d1, d2], lw, lb), np.float32)
+        got = np.asarray(tail_x4_fused(x, d1, d2, lw, lb, interpret=True),
+                         np.float32)
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() <= 0.02 * max(scale, 1.0), \
+            (np.abs(got - ref).max(), scale)
