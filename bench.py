@@ -124,6 +124,99 @@ def bench_train() -> dict:
             "train_target_mps": round(b * s * s / 1e6 / per, 2)}
 
 
+def bench_gan() -> dict:
+    """x4 adversarial iteration (RDDB-family G + PatchGAN D, bf16 acts).
+
+    BASELINE.json config "x4 RGB adversarial training".  One iteration =
+    g_step (six generator passes + 2 D forwards, joint Adam) + d_step (4 D
+    forwards, Adam) — train.py:325-340.  The host-side ImagePool (~us) is
+    excluded: the scan passes the step's own fakes, which matches the pool's
+    output distribution for timing purposes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from srcgan_tpu import config
+    from srcgan_tpu.train.cyclegan import CycleGANTrainer
+
+    config.set_conv_precision("default")
+    tr = CycleGANTrainer(net="1", mode="x4", act_dtype=jnp.bfloat16)
+    st0 = tr.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b, s = 1, 256
+    realB = jnp.asarray(rng.uniform(0, 1, (b, s, s, 3)).astype(np.float32))
+    realA = jnp.asarray(rng.uniform(0, 1, (b, s // 4, s // 4, 3)
+                                    ).astype(np.float32))
+
+    def timed_chain(K):
+        @jax.jit
+        def chain(st, a, bb, seed):
+            def body(carry, _):
+                stc, aux = tr.g_step(carry, a + seed * 1e-6, bb, 1e-4)
+                stc, _ = tr.d_step(stc, a, bb, aux["fake_A"], aux["fake_B"],
+                                   1e-5)
+                return stc, 0.0
+            st, _ = jax.lax.scan(body, st, jnp.arange(K))
+            return jnp.mean(st.d.params["D_A"]["0"]["w"])
+
+        float(chain(st0, realA, realB, jnp.float32(0)))
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(chain(st0, realA, realB, jnp.float32(i + 1)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t4 = timed_chain(1), timed_chain(4)
+    per = (t4 - t1) / 3
+    config.set_conv_precision("highest")
+    return {"gan_step_ms": round(per * 1000, 1),
+            "gan_iters_per_s": round(1.0 / per, 2)}
+
+
+def bench_lab() -> dict:
+    """LAB cascade train step with ON-DEVICE uint8->RGB->LAB conversion
+    (BASELINE.json config "LAB pipeline with on-device RGB<->LAB";
+    reference dataset.py:148-159 + trainCasLAB.py protocol)."""
+    import jax
+    import jax.numpy as jnp
+
+    from srcgan_tpu import config
+    from srcgan_tpu.train import CasTrainer
+
+    config.set_conv_precision("default")
+    tr = CasTrainer(sr_model="RDDBNet", c_model="ResDeconv", up=2, lab=True)
+    st0 = tr.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b, s = 8, 256
+    src_u8 = jnp.asarray(rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8))
+    tar_u8 = jnp.asarray(rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8))
+
+    def timed_chain(K):
+        @jax.jit
+        def chain(st, a, t, seed):
+            def body(carry, i):
+                stc, _ = tr.train_step_u8(carry, a + (seed * 0 + i % 2).astype(
+                    jnp.uint8), t, 1e-4)
+                return stc, 0.0
+            st, _ = jax.lax.scan(body, st, jnp.arange(K))
+            return jnp.mean(st.sr.params["conv_first"]["w"])
+
+        float(chain(st0, src_u8, tar_u8, jnp.uint8(0)))
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(chain(st0, src_u8, tar_u8, jnp.uint8(i % 2)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t5 = timed_chain(1), timed_chain(5)
+    per = (t5 - t1) / 4
+    config.set_conv_precision("highest")
+    return {"lab_step_ms": round(per * 1000, 1),
+            "lab_mps": round(b * s * s / 1e6 / per, 2)}
+
+
 def torch_rddb_mps() -> float:
     """Torch-CPU baseline: an equivalent RDDBNet built with torch.nn.
 
@@ -205,6 +298,8 @@ def main():
     enable_compilation_cache()
     jax_res = bench_jax()
     train_res = bench_train()
+    train_res.update(bench_gan())
+    train_res.update(bench_lab())
     torch_mps = torch_rddb_mps()
     value = jax_res["bf16"] if jax_res["platform"] != "cpu" else jax_res["fp32"]
     print(json.dumps({
