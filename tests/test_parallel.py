@@ -114,6 +114,51 @@ class TestCycleGANDP:
         assert np.isfinite(float(aux["loss_G"]))
         assert np.isfinite(float(dm["loss_D_A"]))
 
+    def test_dp_matches_single_device(self):
+        """Full-iteration equivalence: G grads, D grads, the PatchGAN's
+        batch-stat BatchNorm state, and the host-side pooled fakes all match
+        the single-device trainer after two optimize_parameters iterations.
+
+        The D's BatchNorm computes batch statistics over the GLOBAL batch
+        axis; under GSPMD batch sharding XLA must insert the cross-device
+        reductions for the stats to match single-device training — exactly
+        the place silent DP divergence would hide (train.py:262-340 +
+        model.py:595-639 semantics)."""
+        from srcgan_tpu.train import CycleGANTrainer
+
+        def run(sharded):
+            tr = CycleGANTrainer(net="SRdens", mode="x2")
+            st = tr.init(jax.random.PRNGKey(3))
+            if sharded:
+                mesh = parallel.make_mesh()
+                g_step, d_step = parallel.make_cyclegan_dp_steps(tr, mesh)
+                st = parallel.put_replicated(st, mesh)
+            else:
+                g_step, d_step = tr.g_step, tr.d_step
+            losses = []
+            for it in range(2):
+                realA, realB = make_batch(8, size=32, seed=it)
+                realA_lr = jnp.asarray(np.asarray(realA)[:, ::2, ::2, :])
+                st, aux = g_step(st, realA_lr, realB, 1e-4)
+                fake_A = tr.fake_A_pool.query(np.asarray(aux["fake_A"]))
+                fake_B = tr.fake_B_pool.query(np.asarray(aux["fake_B"]))
+                st, dm = d_step(st, realA_lr, realB, jnp.asarray(fake_A),
+                                jnp.asarray(fake_B), 1e-5)
+                losses.append((float(aux["loss_G"]), float(dm["loss_D_A"]),
+                               float(dm["loss_D_B"])))
+            return st, losses
+
+        st_1, losses_1 = run(sharded=False)
+        st_dp, losses_dp = run(sharded=True)
+
+        np.testing.assert_allclose(losses_dp, losses_1, rtol=1e-4)
+        # params after two Adam updates (eps-normalization amplifies ~1e-7
+        # reduction-order grad noise on near-zero grads to ~1e-4)
+        tree_allclose(st_1.g.params, st_dp.g.params, atol=5e-4)
+        tree_allclose(st_1.d.params, st_dp.d.params, atol=5e-4)
+        # BatchNorm running stats: the global-batch statistics themselves
+        tree_allclose(st_1.d_model_state, st_dp.d_model_state, atol=1e-4)
+
 
 class TestCas2D:
     def test_2d_matches_single_device(self):
