@@ -9,8 +9,8 @@ Notes:
   - torch's ReflectionPad2d == jnp.pad mode='reflect'.
   - dropout is OFF by default in define_G (basicModel.py:105) and the reference
     drivers never enable it; the Dropout module here is identity in eval mode
-    and raises under train=True (stochastic layers need explicit RNG threading,
-    which none of the reference pipelines exercise).
+    and, in train mode, threads its RNG key through the module-state channel
+    (see Dropout docstring) so use_dropout=True generators actually train.
   - init_weights 'normal' (std=0.02) is the pix2pix default; norm affine
     params keep their standard init (scale=1, bias=0), a negligible divergence
     from pix2pix's N(1, 0.02) BN-scale init.
@@ -35,14 +35,38 @@ class ReflectionPad2d(nn.Module):
 
 
 class Dropout(nn.Module):
+    """Inverted dropout (torch.nn.Dropout semantics: zero w.p. p, survivors
+    scaled by 1/(1-p); basicModel.py:230-236) with the RNG key threaded
+    through the module-STATE channel, exactly like BatchNorm's running stats:
+    each train-mode apply splits the stored key, draws the mask from one half
+    and stores the other.  Deterministic given the initial state,
+    checkpointable, and requires no signature change anywhere.
+
+    Caveat: the stateless ``fwd`` sugar re-derives init-state per call and
+    discards updates, so it would reuse one mask across steps — trainers that
+    enable dropout must thread state via ``apply`` (they do for BatchNorm
+    already).  Reseed by replacing state["key"].
+    """
+
     def __init__(self, p: float = 0.5):
         self.p = p
 
+    def init_state(self):
+        return {"key": jax.random.PRNGKey(0)}
+
+    def apply(self, params, x, state=None, train=False):
+        state = state if state else self.init_state()
+        if not train or self.p <= 0.0:
+            return x, state
+        key, next_key = jax.random.split(state["key"])
+        keep = jax.random.bernoulli(key, 1.0 - self.p, x.shape)
+        y = jnp.where(keep, x / (1.0 - self.p), 0).astype(x.dtype)
+        return y, {"key": next_key}
+
     def forward(self, params, x, train):
         if train:
-            raise NotImplementedError(
-                "Dropout training requires RNG threading; the reference "
-                "pipelines run with use_dropout=False")
+            raise RuntimeError("stochastic Dropout must be called via apply() "
+                               "so the RNG state threads through")
         return x
 
 

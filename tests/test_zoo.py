@@ -156,3 +156,60 @@ class TestLegacyTowers:
             j = OurCls()
             check_parity_zoo(t, j, rand(*shape).astype(np.float32), train=True,
                              atol=2e-3)
+
+
+class TestDropoutTraining:
+    """RNG-threaded Dropout (basicModel.py:230-236): use_dropout=True
+    generators actually train — masks drawn per apply, state advances,
+    gradients flow, eval is identity."""
+
+    def test_dropout_semantics(self):
+        from srcgan_tpu.models.pix2pix import Dropout
+        d = Dropout(0.5)
+        st = d.init_state()
+        x = jnp.ones((4, 16, 16, 32))
+        y1, st1 = d.apply({}, x, state=st, train=True)
+        y2, st2 = d.apply({}, x, state=st1, train=True)
+        a1, a2 = np.asarray(y1), np.asarray(y2)
+        # survivors scaled by 1/(1-p); ~p of entries zeroed; key advanced
+        assert set(np.unique(a1)).issubset({0.0, 2.0})
+        assert abs((a1 == 0).mean() - 0.5) < 0.05
+        assert not np.array_equal(a1, a2)
+        # eval mode: identity, state untouched
+        ye, _ = d.apply({}, x, state=st, train=False)
+        np.testing.assert_array_equal(np.asarray(ye), np.asarray(x))
+
+    def test_unet_dropout_trains(self):
+        # dropout lives only in the ngf*8 intermediate blocks
+        # (basicModel.py:265-268) => need num_downs > 5 for any to exist
+        m = models.UnetGenerator(1, 3, 6, ngf=4, norm="instance",
+                                 use_dropout=True)
+        params = m.init(jax.random.PRNGKey(0))
+        state = m.init_state()
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (2, 64, 64, 1)).astype(np.float32))
+
+        def loss_fn(p, st):
+            y, st2 = m.apply(p, x, state=st, train=True)
+            return jnp.mean(y ** 2), st2
+
+        (l1, st1), g = jax.value_and_grad(loss_fn, has_aux=True)(params, state)
+        assert np.isfinite(float(l1))
+        assert any(float(jnp.max(jnp.abs(leaf))) > 0
+                   for leaf in jax.tree_util.tree_leaves(g))
+        # the threaded key advanced somewhere in the state tree
+        (l2, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(params, st1)
+        assert float(l1) != float(l2)  # different mask -> different loss
+        # eval forward is deterministic
+        y1, _ = m.apply(params, x, state=state, train=False)
+        y2, _ = m.apply(params, x, state=state, train=False)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def test_resnet_dropout_trains(self):
+        m = models.ResnetGenerator(1, 3, ngf=4, norm="instance",
+                                   use_dropout=True, n_blocks=2)
+        params = m.init(jax.random.PRNGKey(0))
+        state = m.init_state()
+        x = jnp.ones((1, 16, 16, 1))
+        y, st2 = m.apply(params, x, state=state, train=True)
+        assert np.all(np.isfinite(np.asarray(y, np.float32)))
