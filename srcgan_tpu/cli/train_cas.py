@@ -56,6 +56,17 @@ def build_parser():
     p.add_argument("--resume", action="store_true",
                    help="resume from <checkpoints>/casstate_latest.npz "
                         "(full state: params + Adam moments + epoch)")
+    p.add_argument("--keep-last", type=int, default=0,
+                   help="retain only the newest K checkpoint epochs "
+                        "(0 = keep all, reference behavior)")
+    p.add_argument("--keep-best", type=int, default=0,
+                   help="additionally retain the K best epochs by "
+                        "training-validation PSNR (trainCas.py:124-131 metric)")
+    p.add_argument("--early-stop-patience", type=int, default=0,
+                   help="stop when epoch-mean validation PSNR hasn't improved "
+                        "for K epochs (0 = off)")
+    p.add_argument("--early-stop-delta", type=float, default=0.0,
+                   help="minimum PSNR improvement (dB) to reset patience")
     return p
 
 
@@ -71,6 +82,7 @@ def main(argv=None):
     from srcgan_tpu import config, data, parallel
     from srcgan_tpu.data import preprocess
     from srcgan_tpu.train import CasTrainer, checkpoint_name, save_params
+    from srcgan_tpu.train.retention import CheckpointManager, EarlyStopper
     from srcgan_tpu.train.state import load_train_state, save_train_state
     from srcgan_tpu.utils import Logger
 
@@ -107,8 +119,14 @@ def main(argv=None):
           f"const={args.const}, up={args.up})")
     logger = Logger(len(trainset), args.num_epochs)
 
+    manager = CheckpointManager(args.checkpoints, keep_last=args.keep_last,
+                                keep_best=args.keep_best, mode="max")
+    stopper = EarlyStopper(args.early_stop_patience, args.early_stop_delta,
+                           mode="max")
+
     window = {"loss_SR": [], "loss_C": [], "psnr_SR": [], "psnr_C": []}
     for epoch in range(start_epoch, args.num_epochs + 1):
+        epoch_psnr = []
         lr = trainer.lr_at_epoch(epoch)
         batch_iter = preprocess.device_put_iter(
             data.batches(trainset, args.batch_size, shuffle=True,
@@ -132,13 +150,16 @@ def main(argv=None):
                     f"--resume to restore from {state_path}")
             for k in window:
                 window[k].append(float(metrics[k]))
+            epoch_psnr.append(float(metrics["psnr_C"]))
             if it % args.log_every == 0:
                 realA, realB = preprocess.convert_pair(src_u8, tar_u8, ver)
                 logger.log(nepoch=epoch, niter=it,
                            losses={k: float(np.mean(v)) for k, v in window.items()},
                            images=trainer.snapshot(state, realA, realB), ver=ver)
                 window = {k: [] for k in window}
-        if epoch % args.save_every == 0:
+        mean_psnr = float(np.mean(epoch_psnr)) if epoch_psnr else float("nan")
+        stop = stopper.update(mean_psnr)
+        if epoch % args.save_every == 0 or stop:
             os.makedirs(args.checkpoints, exist_ok=True)
             lab_ver = "G2LAB" if args.lab else None
             netGA = os.path.join(args.checkpoints, checkpoint_name(
@@ -149,7 +170,16 @@ def main(argv=None):
             save_params(netGB, jax.device_get(state.c.params))
             save_train_state(state_path, jax.device_get(state),
                              extra={"epoch": epoch})
-            print(f"\nsaved {netGA} {netGB} (+ resume state)")
+            removed = manager.register(epoch, [netGA, netGB], metric=mean_psnr)
+            print(f"\nsaved {netGA} {netGB} (+ resume state; "
+                  f"val PSNR {mean_psnr:.2f} dB)"
+                  + (f"; retention removed {len(removed)} files" if removed
+                     else ""))
+        if stop:
+            print(f"early stop at epoch {epoch}: validation PSNR stalled for "
+                  f"{args.early_stop_patience} epochs (best "
+                  f"{stopper.best:.2f} dB, best epoch {manager.best_epoch()})")
+            break
     return state
 
 

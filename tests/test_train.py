@@ -224,3 +224,51 @@ class TestMixedPrecision:
         after = np.asarray(jax.tree_util.tree_leaves(st.g.params)[0])
         assert after.dtype == np.float32  # master params stay fp32
         assert np.abs(after - before).max() > 0
+
+
+class TestRetention:
+    def test_keep_last_and_best(self, tmp_path):
+        from srcgan_tpu.train.retention import CheckpointManager
+        d = str(tmp_path)
+        mgr = CheckpointManager(d, keep_last=2, keep_best=1, mode="max")
+        metrics = {1: 10.0, 2: 30.0, 3: 20.0, 4: 15.0, 5: 18.0}
+        for ep, psnr in metrics.items():
+            files = [f"{d}/net_{ep:04d}.npz"]
+            open(files[0], "w").write("x")
+            mgr.register(ep, files, metric=psnr)
+        import os
+        left = sorted(f for f in os.listdir(d) if f.endswith(".npz"))
+        # newest 2 = epochs 4,5; best 1 = epoch 2
+        assert left == ["net_0002.npz", "net_0004.npz", "net_0005.npz"]
+        assert mgr.best_epoch() == 2
+
+    def test_keep_zero_keeps_all(self, tmp_path):
+        from srcgan_tpu.train.retention import CheckpointManager
+        d = str(tmp_path)
+        mgr = CheckpointManager(d, keep_last=0, keep_best=0)
+        import os
+        for ep in range(1, 5):
+            f = f"{d}/net_{ep:04d}.npz"
+            open(f, "w").write("x")
+            mgr.register(ep, [f], metric=float(ep))
+        assert len([f for f in os.listdir(d) if f.endswith(".npz")]) == 4
+
+    def test_ledger_survives_restart(self, tmp_path):
+        from srcgan_tpu.train.retention import CheckpointManager
+        d = str(tmp_path)
+        mgr = CheckpointManager(d, keep_last=1, keep_best=1)
+        for ep, v in ((1, 5.0), (2, 9.0)):
+            f = f"{d}/net_{ep:04d}.npz"
+            open(f, "w").write("x")
+            mgr.register(ep, [f], metric=v)
+        mgr2 = CheckpointManager(d, keep_last=1, keep_best=1)
+        assert mgr2.best_epoch() == 2
+
+    def test_early_stopper(self):
+        from srcgan_tpu.train.retention import EarlyStopper
+        es = EarlyStopper(patience=2, min_delta=0.1, mode="max")
+        assert not es.update(10.0)
+        assert not es.update(10.05)   # below min_delta: stale 1
+        assert es.update(10.04)       # stale 2 -> stop
+        es2 = EarlyStopper(patience=0)
+        assert not any(es2.update(v) for v in [5, 4, 3, 2, 1])
