@@ -67,7 +67,25 @@ def build_parser():
                         "for K epochs (0 = off)")
     p.add_argument("--early-stop-delta", type=float, default=0.0,
                    help="minimum PSNR improvement (dB) to reset patience")
+    p.add_argument("--perceptual", type=str, default=None,
+                   help="VGG16 weights (.npz from convert_vgg, or torchvision "
+                        ".pth) enabling the VGG16 perceptual term "
+                        "(losses.py:344-393); 'random' = untrained VGG "
+                        "(testing only)")
+    p.add_argument("--perceptual-weight", type=float, default=1.0)
     return p
+
+
+def load_perceptual(spec):
+    """--perceptual value -> VGG16 params pytree (or None)."""
+    if not spec:
+        return None
+    import jax as _jax
+
+    from srcgan_tpu import losses_vgg
+    if spec == "random":
+        return losses_vgg.init_vgg_params(_jax.random.PRNGKey(0))
+    return losses_vgg.load_vgg_params(spec)
 
 
 def main(argv=None):
@@ -92,7 +110,9 @@ def main(argv=None):
     trainer = CasTrainer(sr_model=args.SRModel, c_model=args.CModel, up=args.up,
                          lr=args.lr, const=args.const, lab=args.lab,
                          lr_policy=args.lr_policy, num_epochs=args.num_epochs,
-                         remat=args.remat)
+                         remat=args.remat,
+                         perceptual_params=load_perceptual(args.perceptual),
+                         perceptual_weight=args.perceptual_weight)
     state = trainer.init(jax.random.PRNGKey(args.seed))
     start_epoch = 1
     state_path = os.path.join(args.checkpoints, "casstate_latest.npz")

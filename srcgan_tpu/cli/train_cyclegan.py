@@ -30,6 +30,11 @@ def build_parser():
                    help="bf16 activations with fp32 master params (halves the "
                         "six-pass backward memory; enables larger batches)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--perceptual", type=str, default=None,
+                   help="VGG16 weights (.npz from convert_vgg or torchvision "
+                        ".pth) adding a perceptual term on the cycle "
+                        "reconstructions; 'random' = untrained VGG (testing)")
+    p.add_argument("--perceptual-weight", type=float, default=1.0)
     return p
 
 
@@ -49,10 +54,13 @@ def main(argv=None):
     from srcgan_tpu.utils import Logger
 
     root = args.root or f"Sat2Aer{args.mode}"
+    from srcgan_tpu.cli.train_cas import load_perceptual
     trainer = CycleGANTrainer(net=args.net, mode=args.mode, lr=args.lr,
                               pool_size=args.pool_size,
                               num_epochs=args.num_epochs,
-                              act_dtype=jnp.bfloat16 if args.bf16_acts else None)
+                              act_dtype=jnp.bfloat16 if args.bf16_acts else None,
+                              perceptual_params=load_perceptual(args.perceptual),
+                              perceptual_weight=args.perceptual_weight)
     state = trainer.init(jax.random.PRNGKey(args.seed))
 
     trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)

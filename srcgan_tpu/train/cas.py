@@ -46,13 +46,23 @@ class CasTrainer:
     def __init__(self, sr_model: str = "ESPCN", c_model: str = "ResDeconv",
                  up: int = 2, lr: float = 1e-4, const: bool = False,
                  lab: bool = False, lr_policy: str = "cosine",
-                 num_epochs: int = 50, remat: bool = False):
+                 num_epochs: int = 50, remat: bool = False,
+                 perceptual_params=None, perceptual_weight: float = 1.0):
         self.sr_name, self.c_name = sr_model, c_model
         self.up, self.lr, self.const, self.lab = up, lr, const, lab
         self.lr_policy, self.num_epochs = lr_policy, num_epochs
         # remat=True wraps each network apply in jax.checkpoint — trades one
         # extra forward for activation memory; for large tiles / up=8.
         self.remat = remat
+        # Optional VGG16 perceptual term (reference losses.py:344-393) added
+        # to both stage losses: loss = L1 + w * VGG16.  The frozen VGG params
+        # are closed over (compiled as constants).  LAB targets are ab-only
+        # 2-channel tensors the VGG trunk cannot consume — rejected.
+        if perceptual_params is not None and lab:
+            raise ValueError("--perceptual requires an RGB pipeline (the LAB "
+                             "colorizer predicts 2-channel ab maps)")
+        self.perceptual_params = perceptual_params
+        self.perceptual_weight = perceptual_weight
         # trainCas.py:30-31 / trainCasLAB.py:31
         self.netG_A2C = models.create(sr_model, 1, 1, up)
         self.netG_C2B = models.create(c_model, 1, 2 if lab else 3)
@@ -101,16 +111,25 @@ class CasTrainer:
             f = lambda p_, v_: net.apply(p_, v_, state=st, train=True)
             return jax.checkpoint(f)(p, v) if self.remat else f(p, v)
 
+        def _perceptual(y, t):
+            if self.perceptual_params is None:
+                return 0.0
+            from srcgan_tpu import losses_vgg
+            return self.perceptual_weight * losses_vgg.vgg16_loss(
+                self.perceptual_params, y, t)
+
         def sr_loss(p, st):
             fake_BC, st2 = _apply(self.netG_A2C, p, real_BA, st)
-            return losses.l1(fake_BC, real_BC), (fake_BC, st2)
+            loss = losses.l1(fake_BC, real_BC) + _perceptual(fake_BC, real_BC)
+            return loss, (fake_BC, st2)
 
         (loss_sr, (fake_BC, sr_mstate)), g_sr = jax.value_and_grad(
             sr_loss, has_aux=True)(state.sr.params, state.sr_model_state)
 
         def c_loss(p, st):
             fake_BB, st2 = _apply(self.netG_C2B, p, real_BC, st)
-            return losses.l1(fake_BB, tgt_B), (fake_BB, st2)
+            loss = losses.l1(fake_BB, tgt_B) + _perceptual(fake_BB, tgt_B)
+            return loss, (fake_BB, st2)
 
         (loss_c, (fake_BB, c_mstate)), g_c = jax.value_and_grad(
             c_loss, has_aux=True)(state.c.params, state.c_model_state)

@@ -82,7 +82,8 @@ class CycleGANTrainer:
                  lambda_identity: float = 1.0, lambda_a: float = 10.0,
                  lambda_b: float = 10.0, gan_mode: str = "lsgan",
                  lr_policy: str = "cosine", num_epochs: int = 25,
-                 remat: bool = True, act_dtype=None):
+                 remat: bool = True, act_dtype=None,
+                 perceptual_params=None, perceptual_weight: float = 1.0):
         self.remat = remat
         # act_dtype=jnp.bfloat16 halves stored-activation memory for the
         # six-pass backward (params stay fp32; convs accumulate fp32).
@@ -97,6 +98,10 @@ class CycleGANTrainer:
         self.lambda_a, self.lambda_b = lambda_a, lambda_b
         self.gan_mode = gan_mode
         self.lr_policy, self.num_epochs = lr_policy, num_epochs
+        # optional VGG16 perceptual term on the cycle reconstructions
+        # (losses.py:344-393 applied a la ESRGAN; frozen params, fp32)
+        self.perceptual_params = perceptual_params
+        self.perceptual_weight = perceptual_weight
 
         if net == "SRdens":
             self.netG_A = models.SRDenseNetA(1, 3, mode=mode, num_blocks=2,
@@ -211,6 +216,15 @@ class CycleGANTrainer:
                 loss_iden_a = loss_iden_b = jnp.zeros(())
             loss_g = (loss_g_a + loss_g_b + loss_cycle_a + loss_cycle_b
                       + loss_iden_a + loss_iden_b)
+            if self.perceptual_params is not None:
+                from srcgan_tpu import losses_vgg
+                loss_g = loss_g + self.perceptual_weight * (
+                    losses_vgg.vgg16_loss(self.perceptual_params,
+                                          recl_A.astype(jnp.float32),
+                                          realA.astype(jnp.float32))
+                    + losses_vgg.vgg16_loss(self.perceptual_params,
+                                            recl_B.astype(jnp.float32),
+                                            realB.astype(jnp.float32)))
             aux = {
                 "fake_A": fake_A, "fake_B": fake_B,
                 "recl_A": recl_A, "recl_B": recl_B,

@@ -254,3 +254,73 @@ class TestPallasSSIM:
         ref = np.array([float(ssim_xla(a[i:i + 1], jnp.asarray(b[i:i + 1])))
                         for i in range(2)])
         np.testing.assert_allclose(np.asarray(got), ref, atol=1e-6)
+
+
+class TestVGGConversion:
+    def _fake_vgg16_sd(self):
+        """Synthetic torchvision-format VGG16 features state_dict."""
+        import torch
+        from srcgan_tpu.losses_vgg import VGG16_CFG, _features_plan
+        g = torch.Generator().manual_seed(0)
+        sd, cin = {}, 3
+        for idx, kind, cout in _features_plan(VGG16_CFG):
+            if kind == "conv":
+                sd[f"features.{idx}.weight"] = torch.randn(
+                    (cout, cin, 3, 3), generator=g) * 0.05
+                sd[f"features.{idx}.bias"] = torch.randn((cout,), generator=g)
+                cin = cout
+        return sd
+
+    def test_convert_roundtrip(self, tmp_path):
+        """convert_vgg CLI: .pth -> .npz loads identically to the .pth."""
+        import torch
+        from srcgan_tpu.cli import convert_vgg
+        from srcgan_tpu.losses_vgg import load_vgg_params
+        sd = self._fake_vgg16_sd()
+        pth = str(tmp_path / "vgg16.pth")
+        npz = str(tmp_path / "vgg16.npz")
+        torch.save(sd, pth)
+        convert_vgg.main([pth, npz, "--arch", "vgg16"])
+        a = load_vgg_params(pth)
+        b = load_vgg_params(npz)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]["w"]),
+                                          np.asarray(b[k]["w"]))
+            np.testing.assert_array_equal(np.asarray(a[k]["b"]),
+                                          np.asarray(b[k]["b"]))
+
+    def test_convert_wrong_arch_fails(self, tmp_path):
+        import torch
+        from srcgan_tpu.cli import convert_vgg
+        sd = self._fake_vgg16_sd()
+        pth = str(tmp_path / "vgg16.pth")
+        torch.save(sd, pth)
+        with pytest.raises((ValueError, KeyError)):
+            convert_vgg.convert(pth, str(tmp_path / "x.npz"), "vgg19")
+
+    def test_perceptual_train_step(self):
+        """CasTrainer with a perceptual term: loss finite, differs from plain
+        L1, and the step updates params (random VGG — weights-path agnostic)."""
+        from srcgan_tpu import losses_vgg
+        from srcgan_tpu.train import CasTrainer
+        vp = losses_vgg.init_vgg_params(jax.random.PRNGKey(0))
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2,
+                        perceptual_params=vp, perceptual_weight=0.1)
+        tr0 = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st = tr.init(jax.random.PRNGKey(1))
+        st0 = jax.tree_util.tree_map(jnp.array, st)
+        rng = np.random.default_rng(0)
+        tar = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        src = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        stp, m = tr.train_step(st, src, tar, 1e-4)
+        _, m0 = tr0.train_step(st0, src, tar, 1e-4)
+        assert np.isfinite(float(m["loss_SR"]))
+        assert float(m["loss_SR"]) > float(m0["loss_SR"])  # +VGG term
+        assert float(m["loss_C"]) > float(m0["loss_C"])
+
+    def test_perceptual_rejects_lab(self):
+        from srcgan_tpu import losses_vgg
+        from srcgan_tpu.train import CasTrainer
+        vp = losses_vgg.init_vgg_params(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError):
+            CasTrainer(lab=True, perceptual_params=vp)
