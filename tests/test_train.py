@@ -272,3 +272,38 @@ class TestRetention:
         assert es.update(10.04)       # stale 2 -> stop
         es2 = EarlyStopper(patience=0)
         assert not any(es2.update(v) for v in [5, 4, 3, 2, 1])
+
+
+class TestBF16Training:
+    """Guard the bf16-activation training path (the --bf16 mechanism routes
+    convs through bf16 MXU inputs; on CPU we reproduce it by feeding bf16
+    batches, which makes ops.conv2d compute in bf16): losses must stay
+    finite, descend, and track the fp32 trajectory to bf16 accuracy."""
+
+    def test_bf16_activations_track_fp32(self):
+        import jax.numpy as jnp
+        from srcgan_tpu.train import CasTrainer
+        rng = np.random.default_rng(0)
+        batches = [rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+                   for _ in range(6)]
+
+        def run(cast):
+            tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+            st = tr.init(jax.random.PRNGKey(0))
+            out = []
+            for tar in batches:
+                t = jnp.asarray(tar)
+                a = jnp.zeros((2, 32, 32, 1), jnp.float32)
+                if cast:
+                    t = t.astype(jnp.bfloat16)
+                    a = a.astype(jnp.bfloat16)
+                st, m = tr.train_step(st, a, t, 1e-3)
+                out.append((float(m["loss_SR"]), float(m["loss_C"])))
+            return np.array(out)
+
+        fp32 = run(False)
+        bf16 = run(True)
+        assert np.all(np.isfinite(bf16))
+        assert bf16[-1, 0] < bf16[0, 0] and bf16[-1, 1] < bf16[0, 1]
+        # trajectories agree to bf16 precision (~0.4% mantissa) + drift
+        np.testing.assert_allclose(bf16, fp32, rtol=0.05)
