@@ -62,17 +62,23 @@ def run(sr_model, precision, epochs=50, n_train=64, n_val=16, size=64, bs=8, key
             float(np.mean(ps_sr)), float(np.mean(ss_sr)))
 
 
-import sys
-KEY = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-for sr_model in (sys.argv[2],) if len(sys.argv) > 2 else ("ESPCN", "RDDBNet"):
-    res = {}
-    for prec in ("highest", "default"):
-        t0 = time.time()
-        p, s, psr, ssr = run(sr_model, prec, key=KEY)
-        res[prec] = (p, s, psr, ssr)
-        print(f"{sr_model:8s} {'fp32' if prec=='highest' else 'bf16'}: "
-              f"color PSNR {p:7.3f} SSIM {s:.5f} | SR PSNR {psr:7.3f} "
-              f"SSIM {ssr:.5f}  ({time.time()-t0:.0f}s)")
-    d = [res["default"][i] - res["highest"][i] for i in range(4)]
-    print(f"{sr_model:8s} delta: color {d[0]:+.3f} dB / {d[1]:+.5f} | "
-          f"SR {d[2]:+.3f} dB / {d[3]:+.5f}  (bars 0.1 dB / 0.002)")
+def main():
+    import sys
+    key = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    names = (sys.argv[2],) if len(sys.argv) > 2 else ("ESPCN", "RDDBNet")
+    for sr_model in names:
+        res = {}
+        for prec in ("highest", "default"):
+            t0 = time.time()
+            p, s, psr, ssr = run(sr_model, prec, key=key)
+            res[prec] = (p, s, psr, ssr)
+            print(f"{sr_model:8s} {'fp32' if prec=='highest' else 'bf16'}: "
+                  f"color PSNR {p:7.3f} SSIM {s:.5f} | SR PSNR {psr:7.3f} "
+                  f"SSIM {ssr:.5f}  ({time.time()-t0:.0f}s)")
+        d = [res["default"][i] - res["highest"][i] for i in range(4)]
+        print(f"{sr_model:8s} delta: color {d[0]:+.3f} dB / {d[1]:+.5f} | "
+              f"SR {d[2]:+.3f} dB / {d[3]:+.5f}  (bars 0.1 dB / 0.002)")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,9 +31,11 @@ def build_parser():
     p.add_argument("--result-dir", type=str, default="./result")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--precision", type=str, default="highest",
-                   choices=["highest", "high", "default"],
+                   choices=["highest", "high", "default", "int8"],
                    help="conv precision: highest=fp32 (metric-grade), "
-                        "high=3-pass bf16 (~fp32, ~2x faster), default=bf16")
+                        "high=3-pass bf16 (~fp32, ~2x faster), default=bf16, "
+                        "int8=post-training quantized convs (srcgan_tpu.quant;"
+                        " calibrated on the first eval batches)")
     return p
 
 
@@ -53,7 +55,8 @@ def main(argv=None):
     from srcgan_tpu.train.state import parse_checkpoint_name
     from srcgan_tpu.utils import vis
 
-    config.set_conv_precision(args.precision)
+    int8 = args.precision == "int8"
+    config.set_conv_precision("highest" if int8 else args.precision)
     infoA = parse_checkpoint_name(args.netGA)
     infoB = parse_checkpoint_name(args.netGB)
     lab = infoA["ver"] == "G2LAB"
@@ -96,8 +99,29 @@ def main(argv=None):
     # Batched eval with per-sample metrics reproduces the reference's bs=1
     # protocol means exactly while amortizing dispatch (metrics.py per-sample
     # forms; see test_metrics equivalence check).
+    import contextlib
+
     from srcgan_tpu import data as data_mod
     from srcgan_tpu.metrics import per_sample_evaluators
+
+    run_ctx = contextlib.nullcontext
+    if int8:
+        from srcgan_tpu import quant
+
+        cal = []
+        for src_u8, tar_u8, _ in data_mod.batches(testset, args.batch_size):
+            cal.append((src_u8, tar_u8))
+            if len(cal) >= 2:
+                break
+
+        def eager_fwd(pair):
+            rA, rB = preprocess.convert_pair(
+                jnp.asarray(pair[0]), jnp.asarray(pair[1]), infoA["ver"])
+            cascade.__wrapped__(pA, pB, rA, rB)
+
+        scales = quant.calibrate_fn(eager_fwd, cal)
+        print(f"int8: calibrated {len(scales)} conv callsites")
+        run_ctx = lambda: quant.quant_mode("int8", scales)
 
     ps_evals = per_sample_evaluators()
     performs = [[] for _ in ps_evals]
@@ -105,7 +129,8 @@ def main(argv=None):
     for src_u8, tar_u8, idxs in data_mod.batches(testset, args.batch_size):
         realA, realB = preprocess.convert_pair(
             jnp.asarray(src_u8), jnp.asarray(tar_u8), infoA["ver"])
-        fake_AC, fake_AB, fake_BC, fake_BB = cascade(pA, pB, realA, realB)
+        with run_ctx():
+            fake_AC, fake_AB, fake_BC, fake_BB = cascade(pA, pB, realA, realB)
 
         if lab:
             # metrics + save on L (+) ab concat (testCasLAB.py:84-98)

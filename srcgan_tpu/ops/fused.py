@@ -10,7 +10,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from srcgan_tpu.ops.conv import conv2d, pixel_shuffle
+from srcgan_tpu.ops import conv as _conv
+from srcgan_tpu.ops.conv import pixel_shuffle
+
+
+def conv2d(*a, **kw):
+    """Late-bound so srcgan_tpu.quant's int8 dispatch also covers the fused
+    paths (the phase-folded tail's convs quantize through here)."""
+    return _conv.conv2d(*a, **kw)
 
 
 def nearest_up2_conv3x3(x, w, b=None):

@@ -87,3 +87,80 @@ class TestSpatialSharded:
         y1 = sp.predict(x).astype(int)
         # sharded conv reduction order can flip the uint8 rounding boundary
         assert np.abs(y0 - y1).max() <= 1
+
+
+class TestInt8Serving:
+    """Post-training int8 quantization (srcgan_tpu.quant): accuracy bounds on
+    a briefly-trained cascade, calibration contract, per-stage error."""
+
+    def _trained_cascade(self):
+        from srcgan_tpu.train import CasTrainer
+        rng = np.random.default_rng(0)
+        # smooth synthetic targets (SR-learnable)
+        yy, xx = np.mgrid[0:32, 0:32].astype(np.float32) / 32
+        imgs = np.zeros((8, 32, 32, 3), np.float32)
+        for i in range(8):
+            for _ in range(5):
+                cx, cy = rng.uniform(0, 1, 2)
+                s = rng.uniform(0.1, 0.3)
+                imgs[i] += np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                                  / (2 * s * s))[..., None] * rng.uniform(-1, 1, 3)
+        lo = imgs.min(axis=(1, 2, 3), keepdims=True)
+        hi = imgs.max(axis=(1, 2, 3), keepdims=True)
+        imgs = (imgs - lo) / (hi - lo + 1e-6)
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st = tr.init(jax.random.PRNGKey(0))
+        for _ in range(15):
+            st, _ = tr.train_step(st, jnp.zeros((8, 32, 32, 1)),
+                                  jnp.asarray(imgs), 1e-3)
+        return tr, st, imgs
+
+    def test_int8_quality_delta(self):
+        from srcgan_tpu.serving import CascadePredictor
+        tr, st, imgs = self._trained_cascade()
+        fp = CascadePredictor(tr.netG_A2C, st.sr.params, tr.netG_C2B,
+                              st.c.params, up=2)
+        q = CascadePredictor(tr.netG_A2C, st.sr.params, tr.netG_C2B,
+                             st.c.params, up=2, int8=True)
+        lum = imgs @ np.array([0.2125, 0.7154, 0.0721], np.float32)
+        gray = (lum.reshape(8, 16, 2, 16, 2).mean(axis=(2, 4))[..., None]
+                * 255).astype(np.uint8)
+        q.calibrate([gray[:4], gray[4:]])
+        a = fp.predict(gray).astype(np.float32)
+        b = q.predict(gray).astype(np.float32)
+        t = imgs * 255
+
+        def psnr(x, y):
+            return 10 * np.log10(255 ** 2 / max(((x - y) ** 2).mean(), 1e-9))
+
+        # end-metric delta (the claim that matters): int8 costs < 0.3 dB
+        assert abs(psnr(b, t) - psnr(a, t)) < 0.3, (psnr(a, t), psnr(b, t))
+        # mutual agreement sanity
+        assert psnr(a, b) > 25, psnr(a, b)
+        # determinism of the compiled int8 program
+        np.testing.assert_array_equal(q.predict(gray), q.predict(gray))
+
+    def test_int8_requires_calibration(self):
+        from srcgan_tpu.serving import CascadePredictor
+        from srcgan_tpu import models
+        sr = models.create("ESPCN", 1, 1, 2)
+        c = models.create("ResDeconv", 1, 3)
+        q = CascadePredictor(sr, sr.init(jax.random.PRNGKey(0)),
+                             c, c.init(jax.random.PRNGKey(1)), up=2, int8=True)
+        with pytest.raises(RuntimeError, match="calibrate"):
+            q.predict(np.zeros((1, 16, 16, 1), np.uint8))
+
+    def test_quant_dispatch_exactness_bound(self):
+        """Single quantized conv: error bounded by int8 resolution."""
+        from srcgan_tpu import quant
+        from srcgan_tpu.ops import conv as C
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 32)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 32, 32)).astype(np.float32) * .1)
+        ref = C.conv2d(x, w, None, 1, 1)
+        scales = quant.calibrate_fn(lambda v: C.conv2d(v, w, None, 1, 1), [x])
+        with quant.quant_mode("int8", scales):
+            with jax.disable_jit():
+                got = C.conv2d(x, w, None, 1, 1)
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel  # ~1/127 per-operand resolution, averaged
