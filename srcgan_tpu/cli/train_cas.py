@@ -46,6 +46,9 @@ def build_parser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize network activations (jax.checkpoint) "
                         "for large tiles / deep models")
+    p.add_argument("--workers", type=int, default=2,
+                   help="host decode threads (reference DataLoader "
+                        "num_workers=2, trainCas.py:187); 0 = in-line decode")
     p.add_argument("--cache", action="store_true",
                    help="decode PNGs once into a raw uint8 cache; later "
                         "epochs memmap it (host-side decode is the feed "
@@ -150,7 +153,7 @@ def main(argv=None):
         lr = trainer.lr_at_epoch(epoch)
         batch_iter = preprocess.device_put_iter(
             data.batches(trainset, args.batch_size, shuffle=True,
-                         seed=args.seed, epoch=epoch))
+                         seed=args.seed, epoch=epoch, workers=args.workers))
         for it, (src_u8, tar_u8, _) in enumerate(batch_iter, start=1):
             if mesh is not None:
                 realA, realB = preprocess.convert_pair(src_u8, tar_u8, ver)

@@ -129,11 +129,19 @@ def load_dataset(root: str, ver: str = "G2RGB", mode: str = "training"):
 
 def batches(dataset, batch_size: int, *, shuffle: bool = False,
             seed: int = 0, drop_last: bool = False, epoch: int = 0,
-            host_id: int = 0, num_hosts: int = 1,
+            host_id: int = 0, num_hosts: int = 1, workers: int = 0,
+            prefetch: int = 2,
             ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (src_u8, tar_u8, idx) uint8 batches.  Deterministic per (seed,
     epoch).  For multi-host DP, each host passes its (host_id, num_hosts) and
-    gets a disjoint strided shard of the (identically shuffled) order."""
+    gets a disjoint strided shard of the (identically shuffled) order.
+
+    workers>0 decodes batches in a thread pool, ``workers + prefetch`` batches
+    ahead, yielding strictly in order — the host-parallel analog of the
+    reference's ``DataLoader(num_workers=2)`` (trainCas.py:187), so a cold
+    first epoch's PNG decode overlaps the device step instead of starving it
+    (PIL decode releases the GIL).  Batch contents are identical to workers=0.
+    """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
@@ -141,10 +149,33 @@ def batches(dataset, batch_size: int, *, shuffle: bool = False,
         order = order[host_id::num_hosts]
     n = len(order)
     stop = n - (n % batch_size) if drop_last else n
-    for start in range(0, stop, batch_size):
+    starts = list(range(0, stop, batch_size))
+
+    def load(start):
         idxs = order[start:start + batch_size]
         srcs, tars = zip(*(dataset.raw(int(i)) for i in idxs))
-        yield np.stack(srcs), np.stack(tars), idxs
+        return np.stack(srcs), np.stack(tars), idxs
+
+    if workers <= 0:
+        for s in starts:
+            yield load(s)
+        return
+
+    import itertools
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        pending = deque()
+        it = iter(starts)
+        for s in itertools.islice(it, workers + prefetch):
+            pending.append(ex.submit(load, s))
+        while pending:
+            out = pending.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(ex.submit(load, nxt))
+            yield out
 
 
 # ---------------------------------------------------------------------------

@@ -307,3 +307,29 @@ class TestBF16Training:
         assert bf16[-1, 0] < bf16[0, 0] and bf16[-1, 1] < bf16[0, 1]
         # trajectories agree to bf16 precision (~0.4% mantissa) + drift
         np.testing.assert_allclose(bf16, fp32, rtol=0.05)
+
+
+class TestParallelDecode:
+    def test_worker_batches_identical(self, tmp_path):
+        """workers>0 yields byte-identical batches in identical order."""
+        from srcgan_tpu import data
+        root = data.make_synthetic_dataset(str(tmp_path / "WSat"), n_train=11,
+                                           size=16)
+        ds = data.FileListDataset(root, "train", "G2RGB", str(tmp_path))
+        seq = lambda w: list(data.batches(ds, 3, shuffle=True, seed=7,
+                                          epoch=2, workers=w))
+        a, b = seq(0), seq(3)
+        assert len(a) == len(b) == 4
+        for (s0, t0, i0), (s1, t1, i1) in zip(a, b):
+            np.testing.assert_array_equal(i0, i1)
+            np.testing.assert_array_equal(s0, s1)
+            np.testing.assert_array_equal(t0, t1)
+
+    def test_worker_batches_with_cache(self, tmp_path):
+        from srcgan_tpu import data
+        root = data.make_synthetic_dataset(str(tmp_path / "WSat2"), n_train=6,
+                                           size=16)
+        ds = data.CachedDataset(
+            data.FileListDataset(root, "train", "G2RGB", str(tmp_path)))
+        got = list(data.batches(ds, 4, workers=2))
+        assert sum(x[0].shape[0] for x in got) == 6
