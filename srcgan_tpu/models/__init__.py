@@ -31,6 +31,7 @@ from srcgan_tpu.models.legacy import (
 )
 from srcgan_tpu.models.edsr_zoo import (
     DDBPN,
+    EDSRWeb,
     MDSR,
     RCAN,
     RDN,
@@ -61,6 +62,7 @@ REGISTRY: Dict[str, type] = {
     "Encoder": Encoder,
     "SRDenseNetA": SRDenseNetA,
     "SRDenseNetB": SRDenseNetB,
+    "EDSRWeb": EDSRWeb,
     "VDSR": VDSR,
     "MDSR": MDSR,
     "RDN": RDN,

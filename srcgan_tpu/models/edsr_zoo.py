@@ -28,9 +28,10 @@ def args_namespace(**kw) -> SimpleNamespace:
     return SimpleNamespace(**defaults)
 
 
-def _conv(in_ch, out_ch, k, bias=True):
+def _conv(in_ch, out_ch, k, bias=True, weight_init="torch"):
     """common.default_conv (common.py:6-9): same-padding conv, torch init."""
-    return nn.Conv2d(in_ch, out_ch, k, 1, k // 2, bias=bias, weight_init="torch")
+    return nn.Conv2d(in_ch, out_ch, k, 1, k // 2, bias=bias,
+                     weight_init=weight_init)
 
 
 class MeanShift(nn.Module):
@@ -72,13 +73,14 @@ class ResBlock(nn.Module):
     """common.ResBlock (common.py:36-57): conv-act-conv (+BN opt), scaled residual."""
 
     def __init__(self, n_feats: int, kernel_size: int, bias=True, bn=False,
-                 act: str = "relu", res_scale: float = 1.0):
+                 act: str = "relu", res_scale: float = 1.0,
+                 weight_init: str = "torch"):
         assert not bn, "bn variant unused by the reference models"
         self.res_scale = res_scale
         self.act = act
         self.mods = nn.named({
-            "conv1": _conv(n_feats, n_feats, kernel_size, bias),
-            "conv2": _conv(n_feats, n_feats, kernel_size, bias),
+            "conv1": _conv(n_feats, n_feats, kernel_size, bias, weight_init),
+            "conv2": _conv(n_feats, n_feats, kernel_size, bias, weight_init),
         })
 
     def init(self, key):
@@ -95,16 +97,18 @@ class Upsampler(nn.Sequential):
     """common.Upsampler (common.py:59-86): [conv 4x + PixelShuffle(2)] x log2(r),
     or conv 9x + PixelShuffle(3)."""
 
-    def __init__(self, scale: int, n_feats: int, act=False, bias=True):
+    def __init__(self, scale: int, n_feats: int, act=False, bias=True,
+                 weight_init: str = "torch"):
         layers = []
         if (scale & (scale - 1)) == 0:
             for _ in range(int(math.log2(scale))):
-                layers += [_conv(n_feats, 4 * n_feats, 3, bias),
+                layers += [_conv(n_feats, 4 * n_feats, 3, bias, weight_init),
                            nn.PixelShuffle(2)]
                 if act == "relu":
                     layers.append(nn.ReLU())
         elif scale == 3:
-            layers += [_conv(n_feats, 9 * n_feats, 3, bias), nn.PixelShuffle(3)]
+            layers += [_conv(n_feats, 9 * n_feats, 3, bias, weight_init),
+                       nn.PixelShuffle(3)]
             if act == "relu":
                 layers.append(nn.ReLU())
         else:
@@ -441,3 +445,38 @@ class DDBPN(nn.Module):
         out = m["reconstruction"].fwd(p["reconstruction"],
                                       jnp.concatenate(h_list, -1))
         return m["add_mean"].fwd({}, out)
+
+
+class EDSRWeb(nn.Module):
+    """Classic EDSR baseline r16f64 with the ±0.5 input/output shift —
+    reference model/edsr-web.py:14-75.  (The dash in that filename makes it
+    unimportable dead code in the reference; ported for a complete zoo.)
+
+    head conv -> n_resblocks x ResBlock(res_scale=1) + body conv (+ global
+    residual) -> Upsampler + tail conv; kaiming fan_out/relu init on every
+    conv (edsr-web.py:60-63 overrides the EDSR-PyTorch defaults).
+    """
+
+    def __init__(self, in_ch: int, ou_ch: int, upscale_factor: int,
+                 n_resblocks: int = 16, n_feats: int = 64):
+        k, wi = 3, "kaiming"
+        self.mods = nn.named({
+            "head": nn.Sequential(_conv(in_ch, n_feats, k, weight_init=wi)),
+            "body": nn.Sequential(
+                *[ResBlock(n_feats, k, res_scale=1.0, weight_init=wi)
+                  for _ in range(n_resblocks)],
+                _conv(n_feats, n_feats, k, weight_init=wi)),
+            "tail": nn.Sequential(Upsampler(upscale_factor, n_feats,
+                                            weight_init=wi),
+                                  _conv(n_feats, ou_ch, k, weight_init=wi)),
+        })
+
+    def init(self, key):
+        return self.mods.init(key)
+
+    def forward(self, p, x, train):
+        m = self.mods.layers
+        x = x - 0.5
+        x = m["head"].fwd(p["head"], x, train)
+        res = m["body"].fwd(p["body"], x, train) + x
+        return m["tail"].fwd(p["tail"], res, train) + 0.5

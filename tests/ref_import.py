@@ -23,3 +23,22 @@ def ref_module(name: str):
     if name not in _cache:
         _cache[name] = importlib.import_module(name)
     return _cache[name]
+
+
+def ref_module_from_file(modname: str, relpath: str):
+    """Import a reference file that is not module-importable (e.g. the
+    dash-named model/edsr-web.py).  Executes it under the given module name
+    with package context so its relative imports resolve."""
+    if not HAS_REF:
+        raise RuntimeError("reference not mounted")
+    if modname in _cache:
+        return _cache[modname]
+    ref_module("model")  # ensure the parent package is imported
+    spec = importlib.util.spec_from_file_location(
+        modname, os.path.join(REF_SRC, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = modname.rsplit(".", 1)[0]
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    _cache[modname] = mod
+    return mod

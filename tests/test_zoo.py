@@ -213,3 +213,19 @@ class TestDropoutTraining:
         x = jnp.ones((1, 16, 16, 1))
         y, st2 = m.apply(params, x, state=state, train=True)
         assert np.all(np.isfinite(np.asarray(y, np.float32)))
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+class TestEDSRWeb:
+    """edsr-web.py parity: the reference file is dash-named (unimportable
+    dead code there); we exec it under a synthetic module name and run the
+    ordered weight-transfer check."""
+
+    @pytest.mark.parametrize("up", [2, 4])
+    def test_parity(self, up):
+        from tests.ref_import import ref_module_from_file
+        ref_web = ref_module_from_file("model.edsr_web", "model/edsr-web.py")
+        t = ref_web.EDSR(3, 3, up)
+        j = models.EDSRWeb(3, 3, up)
+        # untrained kaiming-init outputs reach ~±300; atol scaled accordingly
+        check_parity_zoo(t, j, rand(1, 8, 8, 3), atol=0.05)
