@@ -66,6 +66,31 @@ class FileListDataset:
         name = self.datalist[idx]
         return _read_png(self.srcpath % name), _read_png(self.tarpath % name)
 
+    def raw_batch(self, idxs) -> Tuple[np.ndarray, np.ndarray]:
+        """(src, tar) uint8 batches.  Uses the native C++/libpng threaded
+        decoder (data/native.py) when available and the dataset's images are
+        uniformly sized; falls back to per-item PIL decode otherwise."""
+        from srcgan_tpu.data import native
+
+        if native.available():
+            if not hasattr(self, "_shapes"):
+                n0 = self.datalist[0]
+                self._shapes = (native.probe(self.srcpath % n0),
+                                native.probe(self.tarpath % n0))
+            sshape, tshape = self._shapes
+            if sshape and tshape:
+                try:
+                    names = [self.datalist[int(i)] for i in idxs]
+                    src = native.decode_batch(
+                        [self.srcpath % n for n in names], *sshape)
+                    tar = native.decode_batch(
+                        [self.tarpath % n for n in names], *tshape)
+                    return src, tar
+                except RuntimeError:
+                    pass  # mixed sizes / corrupt file: PIL path below
+        srcs, tars = zip(*(self.raw(int(i)) for i in idxs))
+        return np.stack(srcs), np.stack(tars)
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         """Reference-parity sample: converted float arrays (NHWC slices).
 
@@ -153,6 +178,9 @@ def batches(dataset, batch_size: int, *, shuffle: bool = False,
 
     def load(start):
         idxs = order[start:start + batch_size]
+        if hasattr(dataset, "raw_batch"):
+            src, tar = dataset.raw_batch(idxs)
+            return src, tar, idxs
         srcs, tars = zip(*(dataset.raw(int(i)) for i in idxs))
         return np.stack(srcs), np.stack(tars), idxs
 
@@ -262,6 +290,9 @@ class CachedDataset:
 
     def raw(self, idx: int):
         return self._src[idx], self._tar[idx]
+
+    def raw_batch(self, idxs):
+        return self._src[np.asarray(idxs)], self._tar[np.asarray(idxs)]
 
 
 if __name__ == "__main__":
