@@ -1,7 +1,9 @@
 """RDDBNet — the headline ESRGAN-style generator (reference rddb.py:85-114)."""
 from __future__ import annotations
 
+import contextlib
 import math
+import threading
 
 import jax
 
@@ -24,6 +26,23 @@ MAX_FOLD_LAST_R = 4
 # 128^2 trunk: materialized 7.0 ms -> XLA fold 2.8 ms -> Pallas 0.85 ms.
 # Training always uses the differentiable XLA fold.
 PALLAS_TAIL = True
+
+_TL = threading.local()
+
+
+@contextlib.contextmanager
+def no_pallas_tail():
+    """Disable the eval-tail Pallas kernel for programs traced in this scope.
+
+    Needed for GSPMD-sharded inference (SpatialShardedPredictor,
+    parallel.make_spatial_infer): XLA cannot spatially partition the custom
+    call, so those programs must trace the pure-XLA folded tail instead."""
+    prev = getattr(_TL, "off", False)
+    _TL.off = True
+    try:
+        yield
+    finally:
+        _TL.off = prev
 
 
 class RDDBNet(nn.Module):
@@ -63,6 +82,7 @@ class RDDBNet(nn.Module):
             dws = [p["upscale"][str(2 * i)]["w"] for i in range(n_up)]
             lw, lb = p["conv_last"]["w"], p["conv_last"].get("b")
             if (PALLAS_TAIL and not train and n_up == 2
+                    and not getattr(_TL, "off", False)
                     and tail_kernel.supported(fea.shape, 4, fea.dtype)
                     and jax.default_backend() == "tpu"):
                 return tail_kernel.tail_x4_fused(fea, dws[0], dws[1], lw, lb)

@@ -83,9 +83,13 @@ def make_spatial_infer(model, mesh: Mesh, axis: str = "space"):
 
     @jax.jit
     def infer(params, x):
-        x = jax.lax.with_sharding_constraint(x, sp)
-        y = model.fwd(params, x)
-        return jax.lax.with_sharding_constraint(y, sp)
+        from srcgan_tpu.models import rddb
+
+        # sharded program: XLA can't partition the eval-tail custom call
+        with rddb.no_pallas_tail():
+            x = jax.lax.with_sharding_constraint(x, sp)
+            y = model.fwd(params, x)
+            return jax.lax.with_sharding_constraint(y, sp)
 
     return infer
 

@@ -143,6 +143,11 @@ class SpatialShardedPredictor(CascadePredictor):
 
     @partial(jax.jit, static_argnums=0)
     def _run(self, sr_params, c_params, gray_u8):
-        gray_u8 = jax.lax.with_sharding_constraint(gray_u8, self._sharding)
-        return CascadePredictor._run.__wrapped__(
-            self, sr_params, c_params, gray_u8)
+        from srcgan_tpu.models import rddb
+
+        # XLA cannot spatially partition the eval-tail custom call — trace
+        # the pure-XLA folded tail for sharded programs.
+        with rddb.no_pallas_tail():
+            gray_u8 = jax.lax.with_sharding_constraint(gray_u8, self._sharding)
+            return CascadePredictor._run.__wrapped__(
+                self, sr_params, c_params, gray_u8)

@@ -176,3 +176,18 @@ class TestCas2D:
         np.testing.assert_allclose(float(m_single["loss_SR"]),
                                    float(m_2d["loss_SR"]), rtol=1e-4)
         tree_allclose(st_single.sr.params, st_2d.sr.params, atol=2e-4)
+
+
+class TestSpatialRDDB:
+    def test_spatial_rddb_x4_matches(self):
+        """The phase-folded x4 tail GSPMD-partitions over the space axis
+        (grouped 1x1s + folded conv + pixel_shuffle under halo exchange)."""
+        mesh = parallel.make_mesh((8,), ("space",))
+        m = models.RDDBNet(1, 1, 4, nf=16, nb=1)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (1, 32, 8, 1)).astype(np.float32))
+        ref = m.fwd(p, x)
+        got = parallel.make_spatial_infer(m, mesh)(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
