@@ -42,6 +42,10 @@ def build_parser():
     p.add_argument("--checkpoints", type=str, default="./checkpoints")
     p.add_argument("--mesh-size", type=int, default=0,
                    help="devices on the data axis (0 = single device)")
+    p.add_argument("--space-size", type=int, default=0,
+                   help="with --mesh-size: extra mesh axis sharding image "
+                        "height (2-D data x space mesh; GSPMD halo exchange) "
+                        "for per-sample resolutions beyond one chip's HBM")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize network activations (jax.checkpoint) "
@@ -125,7 +129,12 @@ def main(argv=None):
         print(f"resumed from {state_path} at epoch {start_epoch}")
 
     mesh = None
-    if args.mesh_size > 1:
+    if args.mesh_size > 1 and args.space_size > 1:
+        mesh = parallel.make_mesh((args.mesh_size, args.space_size),
+                                  ("data", "space"))
+        step = parallel.make_cas_2d_step(trainer, mesh)
+        state = parallel.put_replicated(state, mesh)
+    elif args.mesh_size > 1:
         mesh = parallel.make_mesh((args.mesh_size,), ("data",))
         step = parallel.make_cas_dp_step(trainer, mesh)
         state = parallel.put_replicated(state, mesh)

@@ -106,8 +106,9 @@ class CascadePredictor:
             lambda b: self._run(self.sr_params, self.c_params, jnp.asarray(b)),
             gray_u8_batches)
 
-    def predict(self, gray_u8: np.ndarray) -> np.ndarray:
-        """(N, h, w, 1|3) uint8 LR gray (or RGB, luma taken) -> SR RGB uint8."""
+    def _predict_async(self, gray_u8: np.ndarray):
+        """Dispatch one batch; returns (device_array, valid_n) without
+        blocking on execution (jax async dispatch)."""
         n = gray_u8.shape[0]
         if self.pad and n % self.pad:
             reps = self.pad - n % self.pad
@@ -123,7 +124,29 @@ class CascadePredictor:
                                 jnp.asarray(gray_u8))
         else:
             out = self._run(self.sr_params, self.c_params, jnp.asarray(gray_u8))
+        return out, n
+
+    def predict(self, gray_u8: np.ndarray) -> np.ndarray:
+        """(N, h, w, 1|3) uint8 LR gray (or RGB, luma taken) -> SR RGB uint8."""
+        out, n = self._predict_async(gray_u8)
         return np.asarray(out[:n])
+
+    def predict_stream(self, batches, lookahead: int = 2):
+        """Serve an iterator of uint8 batches, keeping ``lookahead`` batches
+        in flight: host decode / H2D of batch k+1..k+lookahead overlap the
+        device executing batch k (jax async dispatch), so a slow producer
+        doesn't serialize with compute.  Yields uint8 outputs in order."""
+        from collections import deque
+
+        q = deque()
+        for b in batches:
+            q.append(self._predict_async(b))
+            if len(q) > lookahead:
+                out, n = q.popleft()
+                yield np.asarray(out[:n])
+        while q:
+            out, n = q.popleft()
+            yield np.asarray(out[:n])
 
 
 class SpatialShardedPredictor(CascadePredictor):

@@ -164,3 +164,22 @@ class TestInt8Serving:
                 got = C.conv2d(x, w, None, 1, 1)
         rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
         assert rel < 0.02, rel  # ~1/127 per-operand resolution, averaged
+
+
+class TestPredictStream:
+    def test_stream_matches_predict(self):
+        from srcgan_tpu import models
+        from srcgan_tpu.serving import CascadePredictor
+        sr = models.create("ESPCN", 1, 1, 2)
+        c = models.create("ResDeconv", 1, 3)
+        pred = CascadePredictor(sr, sr.init(jax.random.PRNGKey(0)),
+                                c, c.init(jax.random.PRNGKey(1)), up=2,
+                                pad_batch_to=4)
+        rng = np.random.default_rng(0)
+        batches = [rng.integers(0, 256, (n, 16, 16, 1), dtype=np.uint8)
+                   for n in (4, 3, 4, 1)]  # ragged sizes exercise padding
+        streamed = list(pred.predict_stream(iter(batches), lookahead=2))
+        direct = [pred.predict(b) for b in batches]
+        assert len(streamed) == len(direct)
+        for s, d in zip(streamed, direct):
+            np.testing.assert_array_equal(s, d)
