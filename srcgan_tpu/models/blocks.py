@@ -64,11 +64,31 @@ class ResidualDenseBlock5(nn.Module):
         return self.convs.init(key)
 
     def forward(self, p, x, train, lemda: float = 0.2):
+        from srcgan_tpu import quant
+
+        y = quant.rdb5_dispatch(self, p, x, train)
+        if y is not None:  # int8 serving: whole block fused in one kernel
+            return y
         if FAST_RDB5 == "paired":
             return self._forward_paired(p, x, lemda)
         if FAST_RDB5:
             return self._forward_grouped(p, x, lemda)
         return self._forward_naive(p, x, lemda)
+
+    def forward_with_sources(self, p, x, lemda: float = 0.2):
+        """Naive forward that also returns the stage-5 concat [x, x1..x4] —
+        the tensor whose per-channel absmax calibrates the fused int8 kernel
+        (srcgan_tpu.quant.rdb5_dispatch)."""
+        c = self.convs.layers
+        lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+        x1 = lrelu(c["conv1"].fwd(p["conv1"], x))
+        x2 = lrelu(c["conv2"].fwd(p["conv2"], jnp.concatenate([x, x1], -1)))
+        x3 = lrelu(c["conv3"].fwd(p["conv3"], jnp.concatenate([x, x1, x2], -1)))
+        x4 = lrelu(c["conv4"].fwd(p["conv4"],
+                                  jnp.concatenate([x, x1, x2, x3], -1)))
+        cat = jnp.concatenate([x, x1, x2, x3, x4], -1)
+        x5 = c["conv5"].fwd(p["conv5"], cat)
+        return x5 * lemda + x, cat
 
     def _forward_paired(self, p, x, lemda: float = 0.2):
         """Pair-grouped form — exact; keeps conv input widths >= 2*gc.

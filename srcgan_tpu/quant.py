@@ -102,6 +102,67 @@ def _conv2d_dispatch(x, w, b=None, stride=1, padding=0, dilation=1,
     return y
 
 
+# -- fused RDB5 kernel dispatch ----------------------------------------------
+#
+# The per-conv int8 path above is accuracy-correct but slower than bf16 on
+# XLA (docs/PERF.md).  For RDB5 blocks (the trunk's dominant FLOPs) the
+# Pallas kernel ops/pallas/rdb5_kernel.py runs the whole block in VMEM.  A
+# block-level dispatch replaces the block's five per-conv callsites with ONE
+# callsite whose calibration record is the per-channel absmax of the full
+# dense concat [x, x1..x4] (the same values conv5's input would record).
+# The gate below depends only on shapes/platform so the calibrate and int8
+# passes consume callsite indices identically.
+
+PALLAS_RDB5 = True          # master switch for the fused serving kernel
+FORCE_PALLAS_RDB5 = False   # tests: run the kernel interpreted off-TPU
+
+
+def _rdb5_kernel_ok(x_shape, nf: int, gc: int) -> bool:
+    from srcgan_tpu.ops.pallas import rdb5_kernel
+
+    if not rdb5_kernel.supported(x_shape, nf, gc):
+        return False
+    if FORCE_PALLAS_RDB5:
+        return True
+    return PALLAS_RDB5 and jax.default_backend() == "tpu"
+
+
+def rdb5_dispatch(block, p, x, train: bool):
+    """Hook called from ResidualDenseBlock5.forward.  Returns the block's
+    output when the quantized fused path handles it, else None (caller runs
+    the regular schedule)."""
+    ctx = _CTX
+    if ctx.mode is None or train:
+        return None
+    if not _rdb5_kernel_ok(x.shape, block.nf, block.gc):
+        return None
+    from srcgan_tpu.ops.pallas import rdb5_kernel
+
+    i = ctx.idx
+    ctx.idx += 1
+    if ctx.mode == "calibrate":
+        # run the naive schedule with quantization off, record the concat's
+        # per-channel absmax under this block's single callsite
+        mode, ctx.mode = ctx.mode, None
+        try:
+            y, cat = block.forward_with_sources(p, x)
+        finally:
+            ctx.mode = mode
+        amax = np.asarray(jnp.max(jnp.abs(cat), axis=tuple(range(cat.ndim - 1))),
+                          np.float32)
+        prev = ctx.scales.get(i)
+        ctx.scales[i] = amax if prev is None else np.maximum(prev, amax)
+        return y
+    amax = ctx.scales.get(i)
+    if amax is None:
+        raise RuntimeError(
+            f"int8 RDB5 callsite {i} has no calibration scale — calibrate "
+            f"with inputs of the same (kernel-supported) spatial shape first")
+    interp = jax.default_backend() != "tpu"
+    return rdb5_kernel.rdb5_int8_fused(x, p, jnp.asarray(amax),
+                                       interpret=interp)
+
+
 class quant_mode:
     """Context manager installing the conv2d dispatch in the given mode.
 

@@ -1,0 +1,118 @@
+"""Tests for the fused int8 RDB5 Pallas kernel (ops/pallas/rdb5_kernel.py).
+
+Run on the CPU backend with interpret=True (conftest pins the platform); the
+on-TPU compile path is exercised by bench.py / the serving drivers.
+
+Contracts:
+  - kernel ~= rdb5_int8_xla (the XLA statement of its exact semantics) within
+    a small relative error.  NOT bitwise: the f32 dequant chain fuses
+    differently per program (FMA), and a 1-ulp difference occasionally flips
+    a requantization rounding — sparse single-LSB diffs are expected.
+  - the int8 semantics stay within quantization noise of the fp32 block.
+  - the quant.rdb5_dispatch integration: calibrate + int8 modes consume one
+    callsite per block, mix correctly with per-conv quantized convs, and the
+    end-to-end RDDBNet int8 forward stays close to fp32.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from srcgan_tpu import models, ops, quant
+from srcgan_tpu.models.blocks import ResidualDenseBlock5
+from srcgan_tpu.ops.pallas import rdb5_kernel as K
+
+
+def _block_and_input(n=1, h=16, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    blk = ResidualDenseBlock5(64, 32)
+    params = blk.init(jax.random.PRNGKey(seed))
+    x = jnp.asarray(rng.uniform(-0.5, 1.5, (n, h, w, 64)).astype(np.float32))
+    _, cat = blk.forward_with_sources(params, x)
+    absmax = jnp.max(jnp.abs(cat), axis=(0, 1, 2))
+    return blk, params, x, absmax
+
+
+class TestRDB5Int8Kernel:
+    def test_kernel_matches_xla_reference(self):
+        blk, params, x, absmax = _block_and_input()
+        y_ref = K.rdb5_int8_xla(x, params, absmax)
+        y_pl = K.rdb5_int8_fused(x, params, absmax, interpret=True)
+        rel = float(jnp.linalg.norm(y_pl - y_ref) / jnp.linalg.norm(y_ref))
+        assert rel < 1e-2, rel
+
+    def test_kernel_multi_tile_multi_image(self):
+        blk, params, x, absmax = _block_and_input(n=2, h=64, w=128, seed=3)
+        y_ref = K.rdb5_int8_xla(x, params, absmax)
+        y_pl = K.rdb5_int8_fused(x, params, absmax, interpret=True)
+        rel = float(jnp.linalg.norm(y_pl - y_ref) / jnp.linalg.norm(y_ref))
+        assert rel < 1e-2, rel
+
+    def test_int8_semantics_close_to_fp32(self):
+        blk, params, x, absmax = _block_and_input(seed=1)
+        y_fp = blk.forward(params, x, train=False)
+        y_ref = K.rdb5_int8_xla(x, params, absmax)
+        rel = float(jnp.linalg.norm(y_ref - y_fp) / jnp.linalg.norm(y_fp))
+        assert rel < 0.06, rel
+
+    def test_unsupported_shapes_rejected(self):
+        assert not K.supported((1, 16, 100, 64), 64, 32)   # w % 128 != 0
+        assert not K.supported((1, 15, 128, 64), 64, 32)   # h % 8 != 0
+        assert not K.supported((1, 16, 128, 48), 64, 32)   # c != nf
+        assert K.supported((2, 128, 128, 64), 64, 32)
+        assert K.supported((1, 64, 256, 64), 64, 32)
+
+
+class TestRDB5DispatchIntegration:
+    @pytest.fixture(autouse=True)
+    def _force(self):
+        quant.FORCE_PALLAS_RDB5 = True
+        yield
+        quant.FORCE_PALLAS_RDB5 = False
+
+    def test_rddbnet_int8_fused_end_to_end(self):
+        rng = np.random.default_rng(7)
+        model = models.RDDBNet(1, 1, 2, nf=64, nb=1)
+        params = model.init(jax.random.PRNGKey(7))
+        x = jnp.asarray(rng.uniform(0, 1, (1, 16, 128, 1)).astype(np.float32))
+
+        y_fp = model.fwd(params, x)
+        scales = quant.calibrate_fn(lambda b: model.fwd(params, b), [x])
+        # 3 RDB5 callsites (nb=1) + quantizable non-RDB5 convs (trunk_conv;
+        # conv_first/last & the deconv tail fall below MIN_QUANT_CH or are
+        # handled by the phasefold path)
+        n_rdb5 = sum(1 for v in scales.values()
+                     if np.asarray(v).shape == (192,))
+        assert n_rdb5 == 3, scales.keys()
+        with quant.quant_mode("int8", scales):
+            y_q = model.fwd(params, x)
+        rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
+        assert rel < 0.1, rel
+
+    def test_dispatch_consistent_callsites_with_per_conv(self):
+        """The same scale table must work whether or not blocks hit the fused
+        path, as long as the gate decides identically in both passes."""
+        rng = np.random.default_rng(8)
+        blk = ResidualDenseBlock5(64, 32)
+        params = blk.init(jax.random.PRNGKey(8))
+        x = jnp.asarray(rng.uniform(-0.5, 1.5, (1, 16, 128, 64)
+                                    ).astype(np.float32))
+        scales = quant.calibrate_fn(
+            lambda b: blk.forward(params, b, train=False), [x])
+        assert list(scales.keys()) == [0]
+        assert np.asarray(scales[0]).shape == (192,)
+        with quant.quant_mode("int8", scales):
+            y_q = blk.forward(params, x, train=False)
+        y_fp = blk.forward(params, x, train=False)
+        rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
+        assert rel < 0.06, rel
+
+    def test_train_mode_never_dispatches(self):
+        blk, params, x, _ = _block_and_input(seed=2)
+        with quant.quant_mode("int8", {0: np.full((192,), 2.0, np.float32)}):
+            # the serving kernel is forward-only: train=True must bypass it
+            assert quant.rdb5_dispatch(blk, params, x, train=True) is None
+        # and outside any quant mode the dispatch is inert
+        assert quant.rdb5_dispatch(blk, params, x, train=False) is None
