@@ -217,6 +217,55 @@ def bench_lab() -> dict:
             "lab_mps": round(b * s * s / 1e6 / per, 2)}
 
 
+def bench_int8() -> dict:
+    """int8 serving forward of the flagship x4 RDDB generator.
+
+    Calibrated per-channel PTQ (srcgan_tpu.quant); on TPU the RDB5 blocks run
+    the fused Pallas kernel (ops/pallas/rdb5_kernel.py).  Honest status:
+    int8 still trails bf16 end-to-end on this hardware (docs/PERF.md) — this
+    line records the measured gap rather than hiding the mode.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from srcgan_tpu import models, quant
+
+    model = models.RDDBNet(1, 1, 4)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (BATCH, IN_SIZE, IN_SIZE, 1)
+                                ).astype(np.float32))
+    cal = jnp.asarray(rng.uniform(0, 1, (2, IN_SIZE, IN_SIZE, 1)
+                                  ).astype(np.float32))
+    scales = quant.calibrate_fn(lambda b: model.fwd(params, b), [cal])
+
+    def timed_chain(K):
+        @jax.jit
+        def chain(p, v, seed):
+            def body(c, _):
+                y = model.fwd(p, c)
+                return c + (0.0 * jnp.mean(y)).astype(c.dtype), jnp.mean(y)
+            _, ys = jax.lax.scan(body, v + seed, None, length=K)
+            return jnp.sum(ys)
+
+        # trace once per quant_mode block (the dispatch contract); later
+        # timing calls replay the compiled program
+        with quant.quant_mode("int8", scales):
+            float(chain(params, x, jnp.float32(0)))
+        ts = []
+        for i in range(WARMUP + 3):
+            t0 = time.perf_counter()
+            float(chain(params, x, jnp.float32(1e-2 * (i + 1))))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, tk = timed_chain(1), timed_chain(1 + 6)
+    per = (tk - t1) / 6
+    out_mp = BATCH * (IN_SIZE * 4) ** 2 / 1e6
+    return {"int8_mps": round(out_mp / per, 2),
+            "int8_fwd_ms": round(per * 1000, 2)}
+
+
 def torch_rddb_mps() -> float:
     """Torch-CPU baseline: an equivalent RDDBNet built with torch.nn.
 
@@ -300,6 +349,7 @@ def main():
     train_res = bench_train()
     train_res.update(bench_gan())
     train_res.update(bench_lab())
+    train_res.update(bench_int8())
     torch_mps = torch_rddb_mps()
     value = jax_res["bf16"] if jax_res["platform"] != "cpu" else jax_res["fp32"]
     print(json.dumps({

@@ -172,17 +172,33 @@ class quant_mode:
 
     def __init__(self, mode: str, scales: Dict[int, float]):
         self.mode, self.scales = mode, scales
+        self._remat = None
 
     def __enter__(self):
         _CTX.mode, _CTX.scales, _CTX.idx = self.mode, self.scales, 0
         _conv.conv2d = _conv2d_dispatch
         _ops.conv2d = _conv2d_dispatch
+        if self.mode == "calibrate":
+            # Calibration records concrete absmax values and must run truly
+            # eagerly — but jax.checkpoint TRACES its body even under
+            # disable_jit, so a CycleGAN/multitask trainer having flipped
+            # blocks.REMAT_RRDB would hand the recorders tracers.  Remat is
+            # value-neutral; turn it off for the calibration pass.
+            from srcgan_tpu.models import blocks as _blocks
+
+            self._remat = _blocks.REMAT_RRDB
+            _blocks.REMAT_RRDB = False
         return _CTX
 
     def __exit__(self, *exc):
         _CTX.mode = None
         _conv.conv2d = _REAL_CONV2D
         _ops.conv2d = _REAL_CONV2D
+        if self._remat is not None:
+            from srcgan_tpu.models import blocks as _blocks
+
+            _blocks.REMAT_RRDB = self._remat
+            self._remat = None
         return False
 
 

@@ -50,6 +50,32 @@ class TestRDB5Int8Kernel:
         rel = float(jnp.linalg.norm(y_pl - y_ref) / jnp.linalg.norm(y_ref))
         assert rel < 1e-2, rel
 
+    def test_kernel_tiled_mode(self):
+        # H large enough to force the halo-tiled grid (pick_tiling -> HALO)
+        blk, params, x, absmax = _block_and_input(n=1, h=128, w=128, seed=5)
+        assert K.pick_tiling(128, 128)[1] == K.HALO
+        y_ref = K.rdb5_int8_xla(x, params, absmax)
+        y_pl = K.rdb5_int8_fused(x, params, absmax, interpret=True)
+        rel = float(jnp.linalg.norm(y_pl - y_ref) / jnp.linalg.norm(y_ref))
+        assert rel < 1e-2, rel
+
+    def test_bf16_kernel_matches_xla_block(self):
+        blk, params, x, absmax = _block_and_input(n=2, h=32, w=128, seed=9)
+        xb = x.astype(jnp.bfloat16)
+        pb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+        y_xla = blk.forward(pb, xb, train=False)   # paired schedule, bf16
+        y_pl = K.rdb5_bf16_fused(xb, pb, interpret=True)
+        rel = float(jnp.linalg.norm((y_pl - y_xla).astype(jnp.float32))
+                    / jnp.linalg.norm(y_xla.astype(jnp.float32)))
+        # kernel keeps f32 partial sums; XLA's paired schedule stores px
+        # slices bf16 — differences are bf16 staging noise
+        assert rel < 2e-2, rel
+        # and both track the fp32 forward
+        y_fp = blk.forward(params, x, train=False)
+        rel_fp = float(jnp.linalg.norm(y_pl.astype(jnp.float32) - y_fp)
+                       / jnp.linalg.norm(y_fp))
+        assert rel_fp < 2e-2, rel_fp
+
     def test_int8_semantics_close_to_fp32(self):
         blk, params, x, absmax = _block_and_input(seed=1)
         y_fp = blk.forward(params, x, train=False)
@@ -59,10 +85,14 @@ class TestRDB5Int8Kernel:
 
     def test_unsupported_shapes_rejected(self):
         assert not K.supported((1, 16, 100, 64), 64, 32)   # w % 128 != 0
-        assert not K.supported((1, 15, 128, 64), 64, 32)   # h % 8 != 0
+        assert not K.supported((1, 4, 128, 64), 64, 32)    # h too small
         assert not K.supported((1, 16, 128, 48), 64, 32)   # c != nf
-        assert K.supported((2, 128, 128, 64), 64, 32)
-        assert K.supported((1, 64, 256, 64), 64, 32)
+        assert K.supported((2, 128, 128, 64), 64, 32)      # whole-image mode
+        assert K.supported((1, 15, 128, 64), 64, 32)       # ditto, odd h
+        assert K.supported((1, 512, 128, 64), 64, 32)      # tiled mode
+        assert K.pick_tiling(64, 128) == (64, 1)
+        assert K.pick_tiling(128, 128) == (64, K.HALO)
+        assert K.pick_tiling(512, 128)[1] == K.HALO
 
 
 class TestRDB5DispatchIntegration:
@@ -108,6 +138,31 @@ class TestRDB5DispatchIntegration:
         y_fp = blk.forward(params, x, train=False)
         rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
         assert rel < 0.06, rel
+
+    def test_calibration_survives_remat_global(self):
+        """CycleGAN/multitask trainers flip blocks.REMAT_RRDB process-wide;
+        jax.checkpoint traces its body even in eager mode, which used to
+        hand the calibration recorders tracers.  quant_mode('calibrate')
+        must neutralize remat for the pass (remat is value-neutral)."""
+        from srcgan_tpu.models import blocks as blocks_mod
+
+        prev = blocks_mod.REMAT_RRDB
+        blocks_mod.REMAT_RRDB = True
+        try:
+            rng = np.random.default_rng(11)
+            model = models.RDDBNet(1, 1, 2, nf=64, nb=1)
+            params = model.init(jax.random.PRNGKey(11))
+            x = jnp.asarray(rng.uniform(0, 1, (1, 16, 128, 1)
+                                        ).astype(np.float32))
+            scales = quant.calibrate_fn(lambda b: model.fwd(params, b), [x])
+            assert blocks_mod.REMAT_RRDB is True  # restored after the pass
+            with quant.quant_mode("int8", scales):
+                y_q = model.fwd(params, x)
+            y_fp = model.fwd(params, x)
+            rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
+            assert rel < 0.1, rel
+        finally:
+            blocks_mod.REMAT_RRDB = prev
 
     def test_train_mode_never_dispatches(self):
         blk, params, x, _ = _block_and_input(seed=2)
