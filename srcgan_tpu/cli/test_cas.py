@@ -140,6 +140,8 @@ def main(argv=None):
             pred, tgt = fake_BB, realB
 
         per_sample = [np.asarray(fn(pred, tgt)) for _, fn in ps_evals]
+        batch_paths_a, batch_imgs_a = [], []
+        batch_paths_b, batch_imgs_b = [], []
         for j, idx in enumerate(idxs):
             if lab:
                 outB = vis.tensor2img(np.asarray(pred[j:j + 1]), "LAB",
@@ -159,11 +161,16 @@ def main(argv=None):
                 acc += " {}:{:0.2f};".format(ev_name, val)
                 performs[i].append(val)
             name = testset.datalist[int(idx)]
-            vis.save_png(os.path.join(save_dirA, name), outA)
-            vis.save_png(os.path.join(save_dirB, name), outB)
+            batch_paths_a.append(os.path.join(save_dirA, name))
+            batch_imgs_a.append(outA)
+            batch_paths_b.append(os.path.join(save_dirB, name))
+            batch_imgs_b.append(outB)
             done += 1
             sys.stdout.write("\rGenerated %s (%04d / %04d) >> %s" %
                              (name, done - 1, len(testset), acc))
+        # one threaded C++ encode per batch (falls back to PIL per image)
+        vis.save_png_batch(batch_paths_a, batch_imgs_a)
+        vis.save_png_batch(batch_paths_b, batch_imgs_b)
     sys.stdout.write("\n")
 
     # Performs.csv append (testCas.py:92-103)

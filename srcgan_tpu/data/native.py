@@ -65,6 +65,12 @@ def _load():
         lib.srcgan_png_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.srcgan_png_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.srcgan_png_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _lib = lib
     except OSError:
         _lib = None
@@ -102,3 +108,36 @@ def decode_batch(paths: Sequence[str], h: int, w: int,
     if rc:
         raise RuntimeError(f"native decode failed for {paths[rc - 1]!r}")
     return out
+
+
+def encode(path: str, img: np.ndarray) -> None:
+    """uint8 (h, w, 3|1) or (h, w) -> PNG via libpng.  Raises on failure."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native encoder unavailable")
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, ch = img.shape
+    img = np.ascontiguousarray(img)
+    rc = lib.srcgan_png_encode(path.encode(),
+                               img.ctypes.data_as(ctypes.c_void_p), h, w, ch)
+    if rc:
+        raise RuntimeError(f"native encode failed for {path!r} ({rc})")
+
+
+def encode_batch(paths: Sequence[str], imgs: np.ndarray,
+                 threads: int = 4) -> None:
+    """Write imgs (n, h, w, 3|1) uint8 to one PNG each, in C++ threads
+    (zlib compression dominates batched-eval host time).  Raises on any
+    failure (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native encoder unavailable")
+    n, h, w, ch = imgs.shape
+    assert n == len(paths), (n, len(paths))
+    imgs = np.ascontiguousarray(imgs)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.srcgan_png_encode_batch(
+        arr, imgs.ctypes.data_as(ctypes.c_void_p), n, h, w, ch, threads)
+    if rc:
+        raise RuntimeError(f"native encode failed for {paths[rc - 1]!r}")

@@ -5,10 +5,36 @@ import numpy as np
 
 
 def save_png(path: str, arr: np.ndarray) -> None:
-    """uint8 HWC (or HW) array -> PNG."""
+    """uint8 HWC (or HW) array -> PNG (native libpng encoder when built,
+    PIL otherwise)."""
+    from srcgan_tpu.data import native
+
+    if arr.dtype == np.uint8 and (arr.ndim == 2 or arr.shape[-1] in (1, 3)):
+        try:
+            native.encode(path, arr)
+            return
+        except RuntimeError:
+            pass
     from PIL import Image
 
     Image.fromarray(arr).save(path)
+
+
+def save_png_batch(paths, imgs) -> None:
+    """Write a list/stack of same-shaped uint8 HWC images to one PNG each.
+    Uses the C++ thread fan-out encoder (data/_native/loader.cc) — zlib
+    compression is the host bottleneck of a batched eval pass — with a
+    sequential PIL fallback."""
+    from srcgan_tpu.data import native
+
+    arr = np.asarray(imgs)
+    if arr.ndim == 3:
+        arr = arr[..., None]
+    try:
+        native.encode_batch(list(paths), arr)
+    except RuntimeError:
+        for p, img in zip(paths, imgs):
+            save_png(p, np.asarray(img))
 
 
 def whitespace(img: np.ndarray, width: int = 5) -> np.ndarray:
