@@ -1,0 +1,239 @@
+"""HTTP serving daemon for the SR->colorize cascade.
+
+The reference's only inference story is the per-sample eval loop in
+testCas.py; `srcgan_tpu.serving.CascadePredictor` packages it as a fused
+uint8->uint8 program, and this driver puts a production front on it:
+
+  python -m srcgan_tpu.cli.serve \
+      --netGA checkpoints/RDDBNet_A2C_x4_0050.npz \
+      --netGB checkpoints/ResDeconv_C2B_x4_0050.npz \
+      --port 8500 --bf16 --max-batch 8 --max-wait-ms 5
+
+  POST /predict   body = PNG (gray or RGB; RGB is luma-converted on device)
+                  -> 200 with the SR RGB PNG
+  GET  /healthz   -> JSON liveness + model config
+  GET  /stats     -> JSON counters (requests, batches, mean batch size,
+                     latency quantiles over a sliding window)
+
+Requests are micro-batched: a collector thread groups same-shaped requests
+for up to --max-wait-ms (or --max-batch), runs ONE fused device program per
+group (batch padding buckets recompiles), and fans the outputs back out.
+TPU throughput comes from batching — serving requests one by one leaves the
+MXU >90% idle at these model sizes.
+
+Stdlib-only (http.server + threading): no web framework in the image, and
+none needed.
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+from collections import defaultdict, deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="SR cascade serving daemon")
+    p.add_argument("--netGA", type=str, required=True)
+    p.add_argument("--netGB", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 MXU serving mode (recommended on TPU)")
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="micro-batching window")
+    p.add_argument("--pad-batch", type=int, default=4,
+                   help="pad group sizes to a multiple (compile bucketing); "
+                        "0 disables")
+    return p
+
+
+class _Request:
+    __slots__ = ("img", "event", "out", "err", "t0")
+
+    def __init__(self, img):
+        self.img = img
+        self.event = threading.Event()
+        self.out = None
+        self.err = None
+        self.t0 = time.perf_counter()
+
+
+class Batcher:
+    """Groups same-shaped requests into one device call."""
+
+    def __init__(self, predictor, max_batch: int = 8, max_wait_s: float = 0.005):
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self._lock = threading.Condition()
+        self._queues = defaultdict(deque)   # (h, w, c) -> deque[_Request]
+        self._stop = False
+        self.stats = {"requests": 0, "batches": 0, "batched_samples": 0,
+                      "errors": 0}
+        self._lat = deque(maxlen=512)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, img: np.ndarray) -> np.ndarray:
+        req = _Request(img)
+        with self._lock:
+            self._queues[img.shape].append(req)
+            self.stats["requests"] += 1
+            self._lock.notify()
+        req.event.wait()
+        if req.err is not None:
+            raise req.err
+        self._lat.append(time.perf_counter() - req.t0)
+        return req.out
+
+    def latency_quantiles(self):
+        if not self._lat:
+            return {}
+        xs = np.sort(np.asarray(self._lat))
+        q = lambda p: float(xs[min(len(xs) - 1, int(p * len(xs)))])
+        return {"p50_s": round(q(0.5), 4), "p90_s": round(q(0.9), 4),
+                "p99_s": round(q(0.99), 4)}
+
+    def close(self):
+        with self._lock:
+            self._stop = True
+            self._lock.notify()
+        self._thread.join(timeout=5)
+
+    def _take_group(self):
+        """Largest same-shape group, capped at max_batch (holds the lock)."""
+        if not any(self._queues.values()):
+            return None
+        shape = max(self._queues, key=lambda s: len(self._queues[s]))
+        q = self._queues[shape]
+        group = [q.popleft() for _ in range(min(len(q), self.max_batch))]
+        if not q:
+            del self._queues[shape]
+        return group
+
+    def _run(self):
+        while True:
+            with self._lock:
+                while not self._stop and not any(self._queues.values()):
+                    self._lock.wait()
+                if self._stop:
+                    break
+                # micro-batching window: wait for stragglers of any shape
+                deadline = time.monotonic() + self.max_wait_s
+                while (sum(map(len, self._queues.values())) < self.max_batch
+                       and time.monotonic() < deadline):
+                    self._lock.wait(timeout=deadline - time.monotonic())
+                group = self._take_group()
+            if not group:
+                continue
+            try:
+                batch = np.stack([r.img for r in group])
+                outs = self.predictor.predict(batch)
+                for r, o in zip(group, outs):
+                    r.out = o
+            except Exception as e:  # surface to every waiter
+                for r in group:
+                    r.err = e
+                self.stats["errors"] += 1
+            finally:
+                self.stats["batches"] += 1
+                self.stats["batched_samples"] += len(group)
+                for r in group:
+                    r.event.set()
+
+
+def make_handler(batcher, config):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet; /stats has counters
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, **config})
+            elif self.path == "/stats":
+                s = dict(batcher.stats)
+                if s["batches"]:
+                    s["mean_batch"] = round(
+                        s["batched_samples"] / s["batches"], 2)
+                s.update(batcher.latency_quantiles())
+                self._json(200, s)
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                from PIL import Image
+
+                img = np.asarray(Image.open(io.BytesIO(self.rfile.read(n))))
+                if img.dtype != np.uint8:
+                    raise ValueError("PNG must be 8-bit")
+                if img.ndim == 2:
+                    img = img[..., None]
+                out = batcher.submit(img)
+                buf = io.BytesIO()
+                Image.fromarray(out).save(buf, format="PNG")
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def make_server(args) -> ThreadingHTTPServer:
+    from srcgan_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
+    from srcgan_tpu.serving import CascadePredictor
+
+    pred = CascadePredictor.from_checkpoints(
+        args.netGA, args.netGB, bf16=args.bf16, pad_batch_to=args.pad_batch)
+    batcher = Batcher(pred, max_batch=args.max_batch,
+                      max_wait_s=args.max_wait_ms / 1e3)
+    config = {"netGA": args.netGA, "netGB": args.netGB, "up": pred.up,
+              "lab": pred.lab, "bf16": pred.bf16,
+              "max_batch": args.max_batch}
+    srv = ThreadingHTTPServer((args.host, args.port),
+                              make_handler(batcher, config))
+    srv.batcher = batcher
+    return srv
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    srv = make_server(args)
+    host, port = srv.server_address[:2]
+    print(f"serving on http://{host}:{port}  "
+          f"(POST /predict, GET /healthz, GET /stats)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.batcher.close()
+
+
+if __name__ == "__main__":
+    main()

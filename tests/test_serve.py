@@ -1,0 +1,125 @@
+"""HTTP serving daemon (cli.serve): end-to-end over a real socket.
+
+Starts the ThreadingHTTPServer on an ephemeral port with a tiny
+ESPCN+ResDeconv cascade, exercises /predict (concurrently, so the
+micro-batcher actually groups), /healthz and /stats, and checks the
+error surface for a bad request body.
+"""
+from __future__ import annotations
+
+import http.client
+import io
+import os
+import threading
+
+import numpy as np
+import pytest
+import jax
+
+from PIL import Image
+
+from srcgan_tpu import models
+from srcgan_tpu.cli import serve
+from srcgan_tpu.train.state import checkpoint_name, save_params
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srv_ck")
+    sr = models.ESPCN(1, 1, 2)
+    c = models.ResDeconv(1, 3)
+    ga = os.path.join(str(d), checkpoint_name("ESPCN", "A2C", 2, 3))
+    gb = os.path.join(str(d), checkpoint_name("ResDeconv", "C2B", 2, 3))
+    save_params(ga, sr.init(jax.random.PRNGKey(0)))
+    save_params(gb, c.init(jax.random.PRNGKey(1)))
+    args = serve.build_parser().parse_args(
+        ["--netGA", ga, "--netGB", gb, "--port", "0", "--max-batch", "4",
+         "--max-wait-ms", "30", "--pad-batch", "0"])
+    srv = serve.make_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.batcher.close()
+
+
+def _post_png(port, img):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/predict", body=buf.getvalue(),
+                 headers={"Content-Type": "image/png"})
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return r.status, r.getheader("Content-Type"), data
+
+
+def test_healthz(server):
+    port = server.server_address[1]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/healthz")
+    r = conn.getresponse()
+    import json
+
+    body = json.loads(r.read())
+    assert body["ok"] and body["up"] == 2 and body["max_batch"] == 4
+    conn.close()
+
+
+def test_predict_gray_and_rgb_concurrent(server):
+    port = server.server_address[1]
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+
+    results = {}
+
+    def call(key, img):
+        results[key] = _post_png(port, img)
+
+    # concurrent same-shape posts so the batcher forms a real group
+    threads = [threading.Thread(target=call, args=(f"g{i}", gray))
+               for i in range(3)] + [threading.Thread(target=call,
+                                                      args=("rgb", rgb))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for key, (status, ctype, data) in results.items():
+        assert status == 200, (key, data)
+        assert ctype == "image/png"
+        out = np.asarray(Image.open(io.BytesIO(data)))
+        assert out.shape == (32, 32, 3), (key, out.shape)  # x2 SR, RGB
+        assert out.dtype == np.uint8
+
+    # identical gray inputs must produce identical outputs
+    outs = [np.asarray(Image.open(io.BytesIO(results[f"g{i}"][2])))
+            for i in range(3)]
+    assert all(np.array_equal(outs[0], o) for o in outs[1:])
+
+
+def test_stats_counters(server):
+    port = server.server_address[1]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/stats")
+    import json
+
+    s = json.loads(conn.getresponse().read())
+    conn.close()
+    assert s["requests"] >= 4 and s["batches"] >= 1
+    assert s["batched_samples"] >= s["batches"]
+    assert "p50_s" in s
+
+
+def test_bad_body_is_a_400_not_a_crash(server):
+    port = server.server_address[1]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/predict", body=b"this is not a png")
+    r = conn.getresponse()
+    assert r.status == 400
+    conn.close()
+    # server still alive
+    status, _, _ = _post_png(port, np.zeros((8, 8), np.uint8))
+    assert status == 200
