@@ -98,6 +98,19 @@ def load_perceptual(spec):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # Preemption safety (SURVEY.md §5.3): TPU pods get SIGTERM'd with a
+    # grace window on maintenance/preemption.  Register the flag handler
+    # FIRST (before any multi-second jit compile) so a signal during setup
+    # is not fatal; the train loop below checks the flag after every step,
+    # persists the FULL train state, and returns cleanly so --resume
+    # continues the interrupted epoch (the reference loses up to 25 epochs,
+    # trainCas.py:221).
+    import signal
+
+    preempted = {"flag": False}
+    prev_handler = signal.signal(signal.SIGTERM,
+                                 lambda s_, f_: preempted.update(flag=True))
+
     from srcgan_tpu.config import enable_compilation_cache
     enable_compilation_cache()
 
@@ -156,6 +169,12 @@ def main(argv=None):
     stopper = EarlyStopper(args.early_stop_patience, args.early_stop_delta,
                            mode="max")
 
+    def _preempt_save(epoch):
+        save_train_state(state_path, jax.device_get(state),
+                         extra={"epoch": epoch - 1})  # redo this epoch
+        print(f"\nSIGTERM: train state saved to {state_path} "
+              f"(resume with --resume); exiting")
+
     window = {"loss_SR": [], "loss_C": [], "psnr_SR": [], "psnr_C": []}
     for epoch in range(start_epoch, args.num_epochs + 1):
         epoch_psnr = []
@@ -172,6 +191,10 @@ def main(argv=None):
             else:
                 # uint8-input fused step: preprocessing inside the step's jit
                 state, metrics = trainer.train_step_u8(state, src_u8, tar_u8, lr)
+            if preempted["flag"]:
+                _preempt_save(epoch)
+                signal.signal(signal.SIGTERM, prev_handler)
+                return state
             loss_now = float(metrics["loss_SR"]) + float(metrics["loss_C"])
             if not np.isfinite(loss_now):
                 # failure detection (SURVEY.md §5.3): the reference would
@@ -212,6 +235,7 @@ def main(argv=None):
                   f"{args.early_stop_patience} epochs (best "
                   f"{stopper.best:.2f} dB, best epoch {manager.best_epoch()})")
             break
+    signal.signal(signal.SIGTERM, prev_handler)
     return state
 
 

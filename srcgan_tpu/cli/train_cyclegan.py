@@ -35,11 +35,24 @@ def build_parser():
                         ".pth) adding a perceptual term on the cycle "
                         "reconstructions; 'random' = untrained VGG (testing)")
     p.add_argument("--perceptual-weight", type=float, default=1.0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <checkpoints>/cyclestate_latest.npz "
+                        "(full G+D state: params + Adam moments + epoch; the "
+                        "tiny host-side ImagePool restarts empty and rewarms "
+                        "in pool_size iterations)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    # Preemption safety, as in train_cas: register before any slow compile;
+    # the loop checks the flag per step and persists full state on SIGTERM.
+    import signal
+
+    preempted = {"flag": False}
+    prev_handler = signal.signal(signal.SIGTERM,
+                                 lambda s_, f_: preempted.update(flag=True))
 
     from srcgan_tpu.config import enable_compilation_cache
     enable_compilation_cache()
@@ -51,6 +64,7 @@ def main(argv=None):
     from srcgan_tpu import data, ops
     from srcgan_tpu.data import preprocess
     from srcgan_tpu.train import CycleGANTrainer, save_params
+    from srcgan_tpu.train.state import load_train_state, save_train_state
     from srcgan_tpu.utils import Logger
 
     root = args.root or f"Sat2Aer{args.mode}"
@@ -62,12 +76,25 @@ def main(argv=None):
                               perceptual_params=load_perceptual(args.perceptual),
                               perceptual_weight=args.perceptual_weight)
     state = trainer.init(jax.random.PRNGKey(args.seed))
+    start_epoch = 1
+    state_path = os.path.join(args.checkpoints, "cyclestate_latest.npz")
+    if args.resume and os.path.exists(state_path):
+        state, extra = load_train_state(state_path, state)
+        start_epoch = int(extra.get("epoch", 0)) + 1
+        print(f"resumed from {state_path} at epoch {start_epoch}")
+
+    def _preempt_save(epoch):
+        os.makedirs(args.checkpoints, exist_ok=True)
+        save_train_state(state_path, jax.device_get(state),
+                         extra={"epoch": epoch - 1})  # redo this epoch
+        print(f"\nSIGTERM: train state saved to {state_path} "
+              f"(resume with --resume); exiting")
 
     trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)
     print(f"Starting Training Loop... ({len(trainset)} samples, net={args.net})")
     logger = Logger(len(trainset), args.num_epochs)
 
-    for epoch in range(1, args.num_epochs + 1):
+    for epoch in range(start_epoch, args.num_epochs + 1):
         g_lr, d_lr = trainer.lr_at_epoch(epoch)
         for it, (src_u8, tar_u8, _) in enumerate(
                 data.batches(trainset, args.batch_size, shuffle=True,
@@ -81,6 +108,16 @@ def main(argv=None):
                 realA = srcA
             state, aux = trainer.optimize_parameters(state, realA, realB,
                                                      g_lr, d_lr)
+            if preempted["flag"]:
+                _preempt_save(epoch)
+                signal.signal(signal.SIGTERM, prev_handler)
+                return state
+            loss_now = float(aux["loss_G"])
+            if not np.isfinite(loss_now):
+                # failure detection (SURVEY.md §5.3), as in train_cas
+                raise RuntimeError(
+                    f"non-finite generator loss at epoch {epoch} it {it}; "
+                    f"restart with --resume to restore from {state_path}")
             if it % args.log_every == 0:
                 logger.log(
                     nepoch=epoch, niter=it,
@@ -105,7 +142,10 @@ def main(argv=None):
                                  f"netG_B2A_SRtask_{args.mode}_{epoch:04d}.npz")
             save_params(netGA, jax.device_get(state.g.params["G_A"]))
             save_params(netGB, jax.device_get(state.g.params["G_B"]))
-            print(f"\nsaved {netGA} {netGB}")
+            save_train_state(state_path, jax.device_get(state),
+                             extra={"epoch": epoch})
+            print(f"\nsaved {netGA} {netGB} (+ resume state)")
+    signal.signal(signal.SIGTERM, prev_handler)
     return state
 
 

@@ -91,6 +91,16 @@ class TestCycleGANDriver:
         ])
         assert os.path.exists(tmp_path / "ckpt_cyc" /
                               "netG_A2B_SRtask_x2_0001.npz")
+        # full-state resume continues where the run stopped
+        assert os.path.exists(tmp_path / "ckpt_cyc" / "cyclestate_latest.npz")
+        train_cyclegan.main([
+            "--net", "SRdens", "--mode", "x2", "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--num-epochs", "2", "--save-every", "1",
+            "--log-every", "100", "--checkpoints", str(tmp_path / "ckpt_cyc"),
+            "--resume",
+        ])
+        assert os.path.exists(tmp_path / "ckpt_cyc" /
+                              "netG_A2B_SRtask_x2_0002.npz")
 
 
 class TestCycleGANEval:
@@ -116,3 +126,51 @@ class TestCycleGANEval:
         ])
         outs = os.listdir(tmp_path / "result")
         assert any(d.startswith("cyc_fakeB_") for d in outs)
+
+
+class TestPreemption:
+    def test_sigterm_saves_state_and_resumes(self, synth, tmp_path,
+                                             monkeypatch):
+        """SIGTERM mid-training -> full train state persisted, clean return;
+        --resume continues from the interrupted epoch."""
+        import os
+        import signal
+        import threading
+
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cas
+
+        ck = str(tmp_path / "pck")
+        argv = ["--SRModel", "ESPCN", "--CModel", "ResDeconv", "--up", "2",
+                "--root", "Sat2Aerx1", "--data-dir", synth,
+                "--num-epochs", "500", "--save-every", "1000",
+                "--log-every", "1000", "--checkpoints", ck]
+
+        killer = threading.Timer(
+            6.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+        killer.start()
+        try:
+            train_cas.main(argv)   # returns (not raises) on SIGTERM
+        finally:
+            killer.cancel()
+        state_path = os.path.join(ck, "casstate_latest.npz")
+        assert os.path.exists(state_path), "preemption save missing"
+
+        # epochs must not have reached the configured 500 (we were killed)
+        import numpy as np
+        from srcgan_tpu.train.state import load_train_state
+        from srcgan_tpu.train import CasTrainer
+
+        trainer = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        import jax
+        like = trainer.init(jax.random.PRNGKey(0))
+        _, extra = load_train_state(state_path, like)
+        assert 0 <= int(extra["epoch"]) < 500
+
+        # and the run resumes cleanly for a couple more epochs
+        resumed_to = int(extra["epoch"]) + 2
+        train_cas.main(argv[:-6] + [
+            "--num-epochs", str(resumed_to), "--save-every", "1000",
+            "--log-every", "1000", "--checkpoints", ck, "--resume"])
+        _, extra2 = load_train_state(state_path, like)
+        assert int(extra2["epoch"]) >= int(extra["epoch"])
