@@ -28,6 +28,10 @@ def build_parser():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MXU conv mode (default: fp32-highest)")
     p.add_argument("--trace-dir", type=str, default=None)
+    p.add_argument("--cost-analysis", action="store_true",
+                   help="print XLA's compiled cost model for the train step "
+                        "(FLOPs, bytes accessed, optimal-seconds estimate) "
+                        "and the achieved fraction")
     return p
 
 
@@ -61,6 +65,17 @@ def main(argv=None):
     state, m = trainer.train_step(state, src, tar, 1e-4)
     float(m["loss_SR"])
 
+    cost = None
+    if args.cost_analysis:
+        import jax.numpy as _jnp
+
+        compiled = (jax.jit(trainer.train_step)
+                    .lower(state, src, tar, _jnp.float32(1e-4)).compile())
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        cost = {k: float(ca[k]) for k in
+                ("flops", "bytes accessed", "optimal_seconds") if k in ca}
+
     timer = StepTimer(warmup=args.warmup)
     ctx = None
     if args.trace_dir:
@@ -82,6 +97,14 @@ def main(argv=None):
                   f"bs={args.batch_size} {args.size}^2 "
                   f"{'bf16' if args.bf16 else 'fp32'}",
     })
+    if cost is not None:
+        summary["cost_analysis"] = cost
+        if cost.get("flops"):
+            summary["achieved_tflops"] = round(
+                cost["flops"] / summary["p50_s"] / 1e12, 3)
+        if cost.get("optimal_seconds"):
+            summary["fraction_of_xla_optimal"] = round(
+                cost["optimal_seconds"] / summary["p50_s"], 3)
     print(json.dumps(summary))
     return summary
 

@@ -43,3 +43,32 @@ def test_golden_snapshots():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(ops.rgb_to_gray(a)),
                                g["color/gray"], atol=1e-6)
+
+
+class TestReferenceExampleParity:
+    def test_preview_dimensions_match_reference_examples(self, tmp_path):
+        """The reference ships dataset preview PNGs under example/ produced
+        by G2RGB.show() (dataset.py:201-215): two patches side by side, each
+        with the 5-px whitespace border.  Our show() must produce the same
+        geometry for the same patch size."""
+        import os
+
+        from PIL import Image
+
+        from srcgan_tpu import data
+
+        ref_dir = "/root/reference/example/Sat2Aerx1G2RGB"
+        if not os.path.isdir(ref_dir):
+            pytest.skip("reference examples not available")
+        ref_png = sorted(os.listdir(ref_dir))[0]
+        ref_w, ref_h = Image.open(os.path.join(ref_dir, ref_png)).size
+
+        root = data.make_synthetic_dataset(str(tmp_path / "Ex"), n_train=1,
+                                           size=256)
+        ds = data.G2RGB(root, "train", data_dir=str(tmp_path))
+        out = str(tmp_path / "prev")
+        ds.show(0, example_dir=out)
+        ours = os.listdir(out)
+        assert len(ours) == 1
+        w, h = Image.open(os.path.join(out, ours[0])).size
+        assert (w, h) == (ref_w, ref_h) == (532, 266)
