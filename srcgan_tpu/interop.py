@@ -212,7 +212,17 @@ def export_torch_state_dict(model: nn.Module, params, state=None
         from srcgan_tpu.models.edsr_zoo import MeanShift, PReLU
 
         if isinstance(leaf, MeanShift):
-            continue  # frozen constants; reference load_state_dict(strict=False)
+            # Frozen constants in the reference, but its state_dict still
+            # carries them — synthesize the 1x1 conv weight/bias so torch
+            # strict=True loads work.  Modules constructed without an
+            # export_name (none in the zoo) are skipped.
+            if getattr(leaf, "export_name", None):
+                scale = np.asarray(leaf.scale, np.float32)
+                shift = np.asarray(leaf.shift, np.float32)
+                out[f"{leaf.export_name}.weight"] = (
+                    np.diag(scale)[:, :, None, None].astype(np.float32))
+                out[f"{leaf.export_name}.bias"] = shift
+            continue
         if isinstance(leaf, nn.Conv2d):
             path, w = grab()
             out[to_torch(path)] = w.transpose(3, 2, 0, 1)

@@ -39,17 +39,20 @@ class MeanShift(nn.Module):
 
     Parameters are frozen constants in the reference (requires_grad=False), so
     here they are hyperparameters — not part of the param pytree at all.
-    (_torch_leaf marks it as consuming two state_dict tensors on import.)
+    (_torch_leaf marks it as consuming two state_dict tensors on import;
+    export_name lets the exporter synthesize them under the right key so
+    torch-side strict=True loads work.)
     """
 
     _torch_leaf = True
 
     def __init__(self, rgb_range, rgb_mean=(0.4488, 0.4371, 0.4040),
-                 rgb_std=(1.0, 1.0, 1.0), sign=-1):
+                 rgb_std=(1.0, 1.0, 1.0), sign=-1, export_name=None):
         self.scale = jnp.asarray(1.0 / np.array(rgb_std, np.float32))
         self.shift = jnp.asarray(
             sign * rgb_range * np.array(rgb_mean, np.float32)
             / np.array(rgb_std, np.float32))
+        self.export_name = export_name
 
     def forward(self, params, x, train):
         return x * self.scale + self.shift
@@ -78,19 +81,21 @@ class ResBlock(nn.Module):
         assert not bn, "bn variant unused by the reference models"
         self.res_scale = res_scale
         self.act = act
+        # registered as torch does (body = Sequential(conv, act, conv),
+        # common.py:40-50) so exported param paths == reference names
         self.mods = nn.named({
-            "conv1": _conv(n_feats, n_feats, kernel_size, bias, weight_init),
-            "conv2": _conv(n_feats, n_feats, kernel_size, bias, weight_init),
+            "body": nn.Sequential(
+                _conv(n_feats, n_feats, kernel_size, bias, weight_init),
+                nn.ReLU(),
+                _conv(n_feats, n_feats, kernel_size, bias, weight_init)),
         })
 
     def init(self, key):
         return self.mods.init(key)
 
     def forward(self, p, x, train):
-        m = self.mods.layers
-        res = jax.nn.relu(m["conv1"].fwd(p["conv1"], x))
-        res = m["conv2"].fwd(p["conv2"], res) * self.res_scale
-        return res + x
+        res = self.mods.layers["body"].fwd(p["body"], x, train)
+        return res * self.res_scale + x
 
 
 class Upsampler(nn.Sequential):
@@ -124,10 +129,12 @@ class VDSR(nn.Module):
         body = [nn.Sequential(_conv(a.n_colors, a.n_feats, 3), nn.ReLU())]
         for _ in range(a.n_resblocks - 2):
             body.append(nn.Sequential(_conv(a.n_feats, a.n_feats, 3), nn.ReLU()))
-        body.append(_conv(a.n_feats, a.n_colors, 3))
+        # the final conv is ALSO a BasicBlock(act=None) in the reference
+        # (vdsr.py:35) -> state_dict key body.<last>.0.*
+        body.append(nn.Sequential(_conv(a.n_feats, a.n_colors, 3)))
         self.mods = nn.named({
-            "sub_mean": MeanShift(a.rgb_range),
-            "add_mean": MeanShift(a.rgb_range, sign=1),
+            "sub_mean": MeanShift(a.rgb_range, export_name="sub_mean"),
+            "add_mean": MeanShift(a.rgb_range, sign=1, export_name="add_mean"),
             "body": nn.Sequential(*body),
         })
 
@@ -155,18 +162,18 @@ class MDSR(nn.Module):
         # (mdsr.py: pre_process :27, upsample :41, then head/body/tail :47-49)
         # so ordered weight transfer from torch lines up.
         self.mods = nn.named({
-            "sub_mean": MeanShift(a.rgb_range),
-            "add_mean": MeanShift(a.rgb_range, sign=1),
+            "sub_mean": MeanShift(a.rgb_range, export_name="sub_mean"),
+            "add_mean": MeanShift(a.rgb_range, sign=1, export_name="add_mean"),
             "pre_process": nn.named({
-                f"s{i}": nn.Sequential(ResBlock(a.n_feats, 5),
-                                       ResBlock(a.n_feats, 5))
+                str(i): nn.Sequential(ResBlock(a.n_feats, 5),
+                                      ResBlock(a.n_feats, 5))
                 for i in range(len(self.scales))}),
             "upsample": nn.named({
-                f"s{i}": Upsampler(s, a.n_feats)
+                str(i): Upsampler(s, a.n_feats)
                 for i, s in enumerate(self.scales)}),
-            "head": _conv(a.n_colors, a.n_feats, 3),
+            "head": nn.Sequential(_conv(a.n_colors, a.n_feats, 3)),
             "body": nn.Sequential(*body),
-            "tail": _conv(a.n_feats, a.n_colors, 3),
+            "tail": nn.Sequential(_conv(a.n_feats, a.n_colors, 3)),
         })
 
     def init(self, key):
@@ -177,24 +184,32 @@ class MDSR(nn.Module):
 
     def forward(self, p, x, train):
         m = self.mods.layers
-        i = f"s{self.scale_idx}"
+        i = str(self.scale_idx)
         x = m["sub_mean"].fwd({}, x)
-        x = m["head"].fwd(p["head"], x)
+        x = m["head"].fwd(p["head"], x, train)
         x = m["pre_process"].layers[i].fwd(p["pre_process"][i], x, train)
         res = m["body"].fwd(p["body"], x, train) + x
         x = m["upsample"].layers[i].fwd(p["upsample"][i], res, train)
-        x = m["tail"].fwd(p["tail"], x)
+        x = m["tail"].fwd(p["tail"], x, train)
         return m["add_mean"].fwd({}, x)
 
 
 class _RDB(nn.Module):
-    """rdn.py:27-43: C dense convs + 1x1 local feature fusion + residual."""
+    """rdn.py:27-43: C dense convs + 1x1 local feature fusion + residual.
+
+    Registered as torch does — convs = Sequential(RDB_Conv...), each
+    RDB_Conv holding conv = Sequential(conv, relu) (rdn.py:13-25) — so
+    exported param paths (convs.<j>.conv.0.*) == reference names."""
 
     def __init__(self, g0: int, g: int, c: int, k: int = 3):
         self.c = c
-        mods = {f"conv{i}": _conv(g0 + i * g, g, k) for i in range(c)}
-        mods["LFF"] = nn.Conv2d(g0 + c * g, g0, 1, 1, 0, weight_init="torch")
-        self.mods = nn.named(mods)
+        self.mods = nn.named({
+            "convs": nn.named({
+                str(i): nn.named({"conv": nn.Sequential(
+                    _conv(g0 + i * g, g, k), nn.ReLU())})
+                for i in range(c)}),
+            "LFF": nn.Conv2d(g0 + c * g, g0, 1, 1, 0, weight_init="torch"),
+        })
 
     def init(self, key):
         return self.mods.init(key)
@@ -203,7 +218,8 @@ class _RDB(nn.Module):
         m = self.mods.layers
         h = x
         for i in range(self.c):
-            y = jax.nn.relu(m[f"conv{i}"].fwd(p[f"conv{i}"], h))
+            blk = m["convs"].layers[str(i)].layers["conv"]
+            y = blk.fwd(p["convs"][str(i)]["conv"], h, train)
             h = jnp.concatenate([h, y], -1)
         return m["LFF"].fwd(p["LFF"], h) + x
 
@@ -220,9 +236,9 @@ class RDN(nn.Module):
         mods = {
             "SFENet1": _conv(a.n_colors, g0, k),
             "SFENet2": _conv(g0, g0, k),
+            "RDBs": nn.named({str(i): _RDB(g0, g, c, k)
+                              for i in range(self.d)}),
         }
-        for i in range(self.d):
-            mods[f"RDB{i}"] = _RDB(g0, g, c, k)
         mods["GFF"] = nn.Sequential(
             nn.Conv2d(self.d * g0, g0, 1, 1, 0, weight_init="torch"),
             _conv(g0, g0, k))
@@ -248,7 +264,7 @@ class RDN(nn.Module):
         x = m["SFENet2"].fwd(p["SFENet2"], f1)
         outs = []
         for i in range(self.d):
-            x = m[f"RDB{i}"].fwd(p[f"RDB{i}"], x, train)
+            x = m["RDBs"].layers[str(i)].fwd(p["RDBs"][str(i)], x, train)
             outs.append(x)
         x = m["GFF"].fwd(p["GFF"], jnp.concatenate(outs, -1), train) + f1
         return m["UPNet"].fwd(p["UPNet"], x, train)
@@ -258,21 +274,25 @@ class CALayer(nn.Module):
     """rcan.py:11-27: squeeze-excite channel attention."""
 
     def __init__(self, channel: int, reduction: int = 16):
+        # torch: conv_du = Sequential(conv, relu, conv, sigmoid)
+        # (rcan.py:17-23) -> param keys conv_du.0 / conv_du.2
         self.mods = nn.named({
-            "down": nn.Conv2d(channel, channel // reduction, 1, 1, 0,
-                              weight_init="torch"),
-            "up": nn.Conv2d(channel // reduction, channel, 1, 1, 0,
-                            weight_init="torch"),
+            "conv_du": nn.named({
+                "0": nn.Conv2d(channel, channel // reduction, 1, 1, 0,
+                               weight_init="torch"),
+                "2": nn.Conv2d(channel // reduction, channel, 1, 1, 0,
+                               weight_init="torch"),
+            }),
         })
 
     def init(self, key):
         return self.mods.init(key)
 
     def forward(self, p, x, train):
-        m = self.mods.layers
+        du = self.mods.layers["conv_du"].layers
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = jax.nn.relu(m["down"].fwd(p["down"], y))
-        y = jax.nn.sigmoid(m["up"].fwd(p["up"], y))
+        y = jax.nn.relu(du["0"].fwd(p["conv_du"]["0"], y))
+        y = jax.nn.sigmoid(du["2"].fwd(p["conv_du"]["2"], y))
         return x * y
 
 
@@ -280,21 +300,19 @@ class RCAB(nn.Module):
     """rcan.py:30-49: conv-relu-conv + channel attention + residual."""
 
     def __init__(self, n_feat: int, kernel_size: int, reduction: int):
+        # torch: body = Sequential(conv, relu, conv, CALayer) (rcan.py:33-42)
         self.mods = nn.named({
-            "conv1": _conv(n_feat, n_feat, kernel_size),
-            "conv2": _conv(n_feat, n_feat, kernel_size),
-            "ca": CALayer(n_feat, reduction),
+            "body": nn.Sequential(_conv(n_feat, n_feat, kernel_size),
+                                  nn.ReLU(),
+                                  _conv(n_feat, n_feat, kernel_size),
+                                  CALayer(n_feat, reduction)),
         })
 
     def init(self, key):
         return self.mods.init(key)
 
     def forward(self, p, x, train):
-        m = self.mods.layers
-        res = jax.nn.relu(m["conv1"].fwd(p["conv1"], x))
-        res = m["conv2"].fwd(p["conv2"], res)
-        res = m["ca"].fwd(p["ca"], res, train)
-        return res + x
+        return self.mods.layers["body"].fwd(p["body"], x, train) + x
 
 
 class RCAN(nn.Module):
@@ -312,13 +330,14 @@ class RCAN(nn.Module):
         # ordered to match torch registration (rcan.py: sub_mean :82,
         # head/body/tail, add_mean :100) for checkpoint interop
         self.mods = nn.named({
-            "sub_mean": MeanShift(a.rgb_range),
-            "head": _conv(a.n_colors, a.n_feats, 3),
+            "sub_mean": MeanShift(a.rgb_range, export_name="sub_mean"),
+            "head": nn.Sequential(_conv(a.n_colors, a.n_feats, 3)),
             "body": nn.Sequential(*[group() for _ in range(a.n_resgroups)],
                                   _conv(a.n_feats, a.n_feats, 3)),
             "tail": nn.Sequential(Upsampler(a.scale[0], a.n_feats),
                                   _conv(a.n_feats, a.n_colors, 3)),
-            "add_mean": MeanShift(a.rgb_range, sign=1),
+            "add_mean": MeanShift(a.rgb_range, sign=1,
+                                  export_name="add_mean"),
         })
 
     def init(self, key):
@@ -327,23 +346,24 @@ class RCAN(nn.Module):
     def forward(self, p, x, train):
         m = self.mods.layers
         x = m["sub_mean"].fwd({}, x)
-        x = m["head"].fwd(p["head"], x)
+        x = m["head"].fwd(p["head"], x, train)
         res = m["body"].fwd(p["body"], x, train) + x
         x = m["tail"].fwd(p["tail"], res, train)
         return m["add_mean"].fwd({}, x)
 
 
 class _ResGroup(nn.Module):
-    """rcan.py:52-66: wraps a body with a residual connection."""
+    """rcan.py:52-66: wraps a body with a residual connection.  The params
+    nest under "body" like torch's ResidualGroup.body Sequential."""
 
     def __init__(self, body: nn.Module):
         self.body = body
 
     def init(self, key):
-        return self.body.init(key)
+        return {"body": self.body.init(key)}
 
     def forward(self, p, x, train):
-        return self.body.fwd(p, x, train) + x
+        return self.body.fwd(p["body"], x, train) + x
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +424,8 @@ class DDBPN(nn.Module):
         # ordered to match torch registration (ddbpn.py: sub_mean :79,
         # initial/up/down/reconstruction, add_mean :110)
         mods = {
-            "sub_mean": MeanShift(a.rgb_range, rgb_mean),
+            "sub_mean": MeanShift(a.rgb_range, rgb_mean,
+                                  export_name="sub_mean"),
             "init_conv1": nn.Conv2d(a.n_colors, n0, 3, 1, 1, weight_init="torch"),
             "init_act1": PReLU(n0),
             "init_conv2": nn.Conv2d(n0, nr, 1, 1, 0, weight_init="torch"),
@@ -421,7 +442,8 @@ class DDBPN(nn.Module):
             ch += nr
         mods["reconstruction"] = nn.Conv2d(self.depth * nr, a.n_colors, 3, 1, 1,
                                            weight_init="torch")
-        mods["add_mean"] = MeanShift(a.rgb_range, rgb_mean, sign=1)
+        mods["add_mean"] = MeanShift(a.rgb_range, rgb_mean, sign=1,
+                                     export_name="add_mean")
         self.mods = nn.named(mods)
 
     def init(self, key):

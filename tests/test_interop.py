@@ -83,16 +83,19 @@ class TestImport:
             interop.import_torch_state_dict(j, t.state_dict())
 
 
+def _zoo_args(**kw):
+    base = dict(scale=[2], rgb_range=1)
+    base.update(kw)
+    return edsr_zoo.args_namespace(**base)
+
+
 @pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
 class TestExport:
     """Our params -> real torch state_dict, strict-loadable by the reference."""
 
-    # The EDSR-derived zoo (VDSR/MDSR/RDN/RCAN) is import-by-order only:
-    # its torch names are Sequential indices (head.0, body.i.body.j,
-    # conv_du.k) plus MeanShift buffers that the name-based exporter does
-    # not reproduce — documented boundary (docs/PARITY.md).
     @pytest.mark.parametrize("name", ["RDDBNet", "SRDN", "ESPCN", "SRCNN",
-                                      "EDSR", "ResDeconv", "RDDBNetB"])
+                                      "EDSR", "ResDeconv", "RDDBNetB",
+                                      "VDSR", "MDSR", "RDN", "RCAN"])
     def test_strict_load_and_output_match(self, name):
         ref_mods = {
             "RDDBNet": ("model.rddb", lambda m: m.RDDBNet(1, 1, 2, nf=32, nb=1),
@@ -115,6 +118,29 @@ class TestExport:
                          lambda m: m.RDDBNetB(1, 3, 32, nb=1, mode="x2"),
                          lambda: models.RDDBNetB(1, 3, 32, nb=1, mode="x2"),
                          (1, 8, 8, 1)),
+            # the EDSR-derived zoo: Sequential-index names + synthesized
+            # MeanShift buffers; the reference MDSR constructor indexes its
+            # pretrained-url table by r<n_resblocks>f<n_feats> (mdsr.py:21),
+            # so only r16f64 constructs
+            # (vdsr.py:20 indexes the url table: only r20f64 constructs)
+            "VDSR": ("model.vdsr",
+                     lambda m: m.VDSR(_zoo_args(n_resblocks=20, n_feats=64)),
+                     lambda: models.VDSR(_zoo_args(n_resblocks=20, n_feats=64)),
+                     (1, 8, 8, 3)),
+            "MDSR": ("model.mdsr",
+                     lambda m: m.MDSR(_zoo_args()),
+                     lambda: models.MDSR(_zoo_args()), (1, 8, 8, 3)),
+            "RDN": ("model.rdn",
+                    lambda m: m.RDN(_zoo_args(G0=16, RDNconfig="A")),
+                    lambda: models.RDN(_zoo_args(G0=16, RDNconfig="A")),
+                    (1, 8, 8, 3)),
+            "RCAN": ("model.rcan",
+                     lambda m: m.RCAN(_zoo_args(n_resgroups=2, n_resblocks=2,
+                                                n_feats=16, reduction=4)),
+                     lambda: models.RCAN(_zoo_args(n_resgroups=2,
+                                                   n_resblocks=2, n_feats=16,
+                                                   reduction=4)),
+                     (1, 8, 8, 3)),
         }
         mod_name, mk_ref, mk_ours, shape = ref_mods[name]
         ref_mod = ref_module(mod_name)
@@ -151,4 +177,26 @@ def test_export_survives_tree_map_reordering():
         expect = t(nchw(x))
     got = j.fwd(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), nhwc(expect), atol=5e-4,
+                               rtol=1e-3)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+def test_export_edsr_web():
+    """EDSRWeb strict-exports too (the dash-named reference file is exec'd
+    under a synthetic module name, as in test_zoo)."""
+    from tests.ref_import import ref_module_from_file
+
+    ref_web = ref_module_from_file("model.edsr_web_x", "model/edsr-web.py")
+    ours = models.EDSRWeb(3, 3, 2)   # the reference hardcodes r16f64
+    params = ours.init(jax.random.PRNGKey(6))
+    sd = interop.export_torch_state_dict(ours, params)
+    t = ref_web.EDSR(3, 3, 2)
+    t.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+                      strict=True)
+    t.eval()
+    x = rand(1, 8, 8, 3)
+    with torch.no_grad():
+        ref_out = t(nchw(x))
+    got, _ = ours.apply(params, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), nhwc(ref_out), atol=1e-3,
                                rtol=1e-3)
