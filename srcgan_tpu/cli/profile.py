@@ -75,6 +75,9 @@ def main(argv=None):
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         cost = {k: float(ca[k]) for k in
                 ("flops", "bytes accessed", "optimal_seconds") if k in ca}
+        # some backends report a negative/garbage optimal_seconds
+        if cost.get("optimal_seconds", 0) <= 0:
+            cost.pop("optimal_seconds", None)
 
     timer = StepTimer(warmup=args.warmup)
     ctx = None
