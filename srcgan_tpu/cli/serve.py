@@ -51,6 +51,10 @@ def build_parser():
     p.add_argument("--pad-batch", type=int, default=4,
                    help="pad group sizes to a multiple (compile bucketing); "
                         "0 disables")
+    p.add_argument("--warmup", type=str, default=None,
+                   help="comma-separated HxW gray input shapes to pre-compile "
+                        "at startup (e.g. 128x128,256x256) so first requests "
+                        "don't pay the ~20 s jit compile")
     return p
 
 
@@ -210,6 +214,17 @@ def make_server(args) -> ThreadingHTTPServer:
 
     pred = CascadePredictor.from_checkpoints(
         args.netGA, args.netGB, bf16=args.bf16, pad_batch_to=args.pad_batch)
+    if args.warmup:
+        for spec in args.warmup.split(","):
+            h, w = (int(v) for v in spec.lower().split("x"))
+            # the batcher pads ragged groups via pad_batch_to, so warming
+            # batch 1 covers every group size in that bucket; without
+            # bucketing also warm a full group
+            sizes = {1} if args.pad_batch else {1, args.max_batch}
+            for n in sorted(sizes):
+                t0 = time.perf_counter()
+                pred.predict(np.zeros((n, h, w, 1), np.uint8))
+                print(f"warmed {n}x{h}x{w} in {time.perf_counter()-t0:.1f}s")
     batcher = Batcher(pred, max_batch=args.max_batch,
                       max_wait_s=args.max_wait_ms / 1e3)
     config = {"netGA": args.netGA, "netGB": args.netGB, "up": pred.up,

@@ -123,3 +123,33 @@ def test_bad_body_is_a_400_not_a_crash(server):
     # server still alive
     status, _, _ = _post_png(port, np.zeros((8, 8), np.uint8))
     assert status == 200
+
+
+def test_warmup_precompiles(tmp_path):
+    """--warmup makes the first real request hit a cached compile."""
+    sr = models.ESPCN(1, 1, 2)
+    c = models.ResDeconv(1, 3)
+    ga = os.path.join(str(tmp_path), checkpoint_name("ESPCN", "A2C", 2, 1))
+    gb = os.path.join(str(tmp_path), checkpoint_name("ResDeconv", "C2B", 2, 1))
+    save_params(ga, sr.init(jax.random.PRNGKey(0)))
+    save_params(gb, c.init(jax.random.PRNGKey(1)))
+    args = serve.build_parser().parse_args(
+        ["--netGA", ga, "--netGB", gb, "--port", "0", "--pad-batch", "2",
+         "--warmup", "16x16"])
+    srv = serve.make_server(args)   # warms during construction
+    try:
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        import time
+
+        img = np.zeros((16, 16), np.uint8)
+        t0 = time.perf_counter()
+        status, _, data = _post_png(srv.server_address[1], img)
+        dt = time.perf_counter() - t0
+        assert status == 200
+        # warmed: the request replays the cached executable (compiles on
+        # this CPU backend take multiple seconds)
+        assert dt < 2.5, dt
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
