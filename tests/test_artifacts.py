@@ -1,0 +1,32 @@
+"""Driver-artifact health: bench.py and __graft_entry__.py import cleanly.
+
+These two files are executed by the round driver on real TPU hardware and
+never imported by the CPU test suite — a syntax error or a renamed symbol
+would otherwise surface only at round end.  Heavy work (TPU bench, the
+8-device dryrun) is exercised elsewhere; here we pin importability and the
+cheap structural contracts.
+"""
+import importlib
+
+import numpy as np
+
+
+def test_bench_imports_and_declares_protocol():
+    bench = importlib.import_module("bench")
+    for fn in ("bench_jax", "bench_train", "bench_gan", "bench_lab",
+               "bench_int8", "torch_rddb_mps", "main"):
+        assert callable(getattr(bench, fn)), fn
+
+
+def test_graft_entry_contract():
+    g = importlib.import_module("__graft_entry__")
+    fn, args = g.entry()
+    params, x = args
+    assert callable(fn)
+    assert x.shape == (1, 64, 64, 1)
+    # eager forward on the CPU backend: the jittable contract is exercised
+    # by the driver's single-chip compile check
+    y = fn(params, x)
+    assert y.shape == (1, 256, 256, 1)
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert callable(g.dryrun_multichip)
