@@ -11,7 +11,12 @@ Measured v5e (M=8320): bf16 126-162 TFLOP/s, int8 196-268 TOP/s at
 K in {192,288,576}, N in {128,192} — the rates the fused RDB5 kernel design
 (ops/pallas/rdb5_kernel.py, docs/PERF.md) is judged against.
 """
+import time
 from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

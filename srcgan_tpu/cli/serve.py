@@ -218,9 +218,18 @@ def make_server(args) -> ThreadingHTTPServer:
         for spec in args.warmup.split(","):
             h, w = (int(v) for v in spec.lower().split("x"))
             # the batcher pads ragged groups via pad_batch_to, so warming
-            # batch 1 covers every group size in that bucket; without
-            # bucketing also warm a full group
-            sizes = {1} if args.pad_batch else {1, args.max_batch}
+            # every padded BUCKET up to max_batch covers every group size
+            # (warming only batch 1 would still leave e.g. sizes 5-8 to pay
+            # the first-request jit when pad_batch=4, max_batch=8); without
+            # bucketing warm the two sizes the batcher actually produces
+            # under no-load (1) and saturation (max_batch)
+            if args.pad_batch:
+                import math
+
+                nb = math.ceil(args.max_batch / args.pad_batch)
+                sizes = {args.pad_batch * i for i in range(1, nb + 1)}
+            else:
+                sizes = {1, args.max_batch}
             for n in sorted(sizes):
                 t0 = time.perf_counter()
                 pred.predict(np.zeros((n, h, w, 1), np.uint8))

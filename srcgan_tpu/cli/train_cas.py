@@ -104,13 +104,21 @@ def main(argv=None):
     # is not fatal; the train loop below checks the flag after every step,
     # persists the FULL train state, and returns cleanly so --resume
     # continues the interrupted epoch (the reference loses up to 25 epochs,
-    # trainCas.py:221).
+    # trainCas.py:221).  The finally restores the previous handler on EVERY
+    # exit path (incl. the non-finite-loss RuntimeError) so a later caller
+    # in the same process doesn't inherit a SIGTERM-swallowing handler.
     import signal
 
     preempted = {"flag": False}
     prev_handler = signal.signal(signal.SIGTERM,
                                  lambda s_, f_: preempted.update(flag=True))
+    try:
+        return _run(args, preempted)
+    finally:
+        signal.signal(signal.SIGTERM, prev_handler)
 
+
+def _run(args, preempted):
     from srcgan_tpu.config import enable_compilation_cache
     enable_compilation_cache()
 
@@ -193,7 +201,6 @@ def main(argv=None):
                 state, metrics = trainer.train_step_u8(state, src_u8, tar_u8, lr)
             if preempted["flag"]:
                 _preempt_save(epoch)
-                signal.signal(signal.SIGTERM, prev_handler)
                 return state
             loss_now = float(metrics["loss_SR"]) + float(metrics["loss_C"])
             if not np.isfinite(loss_now):
@@ -235,7 +242,6 @@ def main(argv=None):
                   f"{args.early_stop_patience} epochs (best "
                   f"{stopper.best:.2f} dB, best epoch {manager.best_epoch()})")
             break
-    signal.signal(signal.SIGTERM, prev_handler)
     return state
 
 

@@ -48,12 +48,20 @@ def main(argv=None):
 
     # Preemption safety, as in train_cas: register before any slow compile;
     # the loop checks the flag per step and persists full state on SIGTERM.
+    # The finally restores the previous handler on every exit path (incl.
+    # the non-finite-loss RuntimeError).
     import signal
 
     preempted = {"flag": False}
     prev_handler = signal.signal(signal.SIGTERM,
                                  lambda s_, f_: preempted.update(flag=True))
+    try:
+        return _run(args, preempted)
+    finally:
+        signal.signal(signal.SIGTERM, prev_handler)
 
+
+def _run(args, preempted):
     from srcgan_tpu.config import enable_compilation_cache
     enable_compilation_cache()
 
@@ -110,7 +118,6 @@ def main(argv=None):
                                                      g_lr, d_lr)
             if preempted["flag"]:
                 _preempt_save(epoch)
-                signal.signal(signal.SIGTERM, prev_handler)
                 return state
             loss_now = float(aux["loss_G"])
             if not np.isfinite(loss_now):
@@ -145,7 +152,6 @@ def main(argv=None):
             save_train_state(state_path, jax.device_get(state),
                              extra={"epoch": epoch})
             print(f"\nsaved {netGA} {netGB} (+ resume state)")
-    signal.signal(signal.SIGTERM, prev_handler)
     return state
 
 

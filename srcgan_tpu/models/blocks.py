@@ -66,9 +66,10 @@ class ResidualDenseBlock5(nn.Module):
     def forward(self, p, x, train, lemda: float = 0.2):
         from srcgan_tpu import quant
 
-        y = quant.rdb5_dispatch(self, p, x, train)
-        if y is not None:  # int8 serving: whole block fused in one kernel
-            return y
+        if lemda == 0.2:  # the fused kernel hardcodes the default lemda
+            y = quant.rdb5_dispatch(self, p, x, train)
+            if y is not None:  # int8 serving: whole block fused in one kernel
+                return y
         if FAST_RDB5 == "paired":
             return self._forward_paired(p, x, lemda)
         if FAST_RDB5:

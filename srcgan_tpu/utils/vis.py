@@ -30,11 +30,17 @@ def save_png_batch(paths, imgs) -> None:
     arr = np.asarray(imgs)
     if arr.ndim == 3:
         arr = arr[..., None]
-    try:
-        native.encode_batch(list(paths), arr)
-    except RuntimeError:
-        for p, img in zip(paths, imgs):
-            save_png(p, np.asarray(img))
+    # Same gate as save_png: the native encoder hands the raw buffer to
+    # libpng as unsigned char*, so a non-uint8 / odd-channel array would
+    # silently write corrupt PNGs instead of erroring.
+    if arr.dtype == np.uint8 and arr.shape[-1] in (1, 3):
+        try:
+            native.encode_batch(list(paths), arr)
+            return
+        except RuntimeError:
+            pass
+    for p, img in zip(paths, imgs):
+        save_png(p, np.asarray(img))
 
 
 def whitespace(img: np.ndarray, width: int = 5) -> np.ndarray:
