@@ -6,6 +6,8 @@ weights, explicit parameter pytrees.
 """
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Tuple
 
 import jax
@@ -13,16 +15,31 @@ import jax.numpy as jnp
 
 from srcgan_tpu import nn, ops
 
-# RDB5 forward schedule: "paired" (default) > grouped (True) > naive (False).
-# All three are exact (same params, float-add reassociation only); measured on
-# v5e bf16 x4 RDDBNet forward: naive 93 MP/s, grouped 124, paired 128.
-FAST_RDB5 = "paired"
+# RDB5 forward schedule: "paired" (default) > "grouped" > "naive".  All three
+# are exact (same params, float-add reassociation only); measured on v5e bf16
+# x4 RDDBNet forward: naive 93 MP/s, grouped 124, paired 128.  Scope-switch
+# with the rdb5_schedule() context (like config.matmul_precision); the module
+# default below applies outside any context.
+DEFAULT_RDB5_SCHEDULE = "paired"
+_SCHEDULES = ("naive", "grouped", "paired")
+_SCHED_TL = threading.local()
 
-# When True, each RRDB's forward is wrapped in jax.checkpoint: under grad, its
-# internal activations are recomputed during the backward instead of stored.
-# ~15% extra FLOPs on the trunk, ~15x less gradient memory per RRDB — the GAN
-# trainers enable it (six generator passes per step otherwise exhaust HBM).
-REMAT_RRDB = False
+
+@contextlib.contextmanager
+def rdb5_schedule(name: str):
+    """Scoped override of the RDB5 forward schedule for traces in this thread."""
+    if name not in _SCHEDULES:
+        raise ValueError(f"unknown RDB5 schedule {name!r}; one of {_SCHEDULES}")
+    prev = getattr(_SCHED_TL, "value", None)
+    _SCHED_TL.value = name
+    try:
+        yield
+    finally:
+        _SCHED_TL.value = prev
+
+
+def current_rdb5_schedule() -> str:
+    return getattr(_SCHED_TL, "value", None) or DEFAULT_RDB5_SCHEDULE
 
 
 def get_deconv_params(upscale_factor: int) -> Tuple[int, int, int]:
@@ -70,9 +87,10 @@ class ResidualDenseBlock5(nn.Module):
             y = quant.rdb5_dispatch(self, p, x, train)
             if y is not None:  # int8 serving: whole block fused in one kernel
                 return y
-        if FAST_RDB5 == "paired":
+        sched = current_rdb5_schedule()
+        if sched == "paired":
             return self._forward_paired(p, x, lemda)
-        if FAST_RDB5:
+        if sched == "grouped":
             return self._forward_grouped(p, x, lemda)
         return self._forward_naive(p, x, lemda)
 
@@ -202,9 +220,18 @@ class ResidualDenseBlock5(nn.Module):
 
 
 class RRDB(nn.Module):
-    """Residual-in-residual dense block (rddb.py:71-82): 3x RDB5, out*0.2 + x."""
+    """Residual-in-residual dense block (rddb.py:71-82): 3x RDB5, out*0.2 + x.
 
-    def __init__(self, nf: int, gc: int = 32):
+    ``remat`` is INSTANCE-scoped: when True this block's forward is wrapped
+    in jax.checkpoint — under grad its internal activations are recomputed
+    during the backward instead of stored (~15% extra trunk FLOPs, ~15x less
+    gradient memory per RRDB).  The GAN trainers enable it on THEIR generator
+    instances via set_trunk_remat (six generator passes per step otherwise
+    exhaust HBM); other models in the same process are unaffected.
+    """
+
+    def __init__(self, nf: int, gc: int = 32, remat: bool = False):
+        self.remat = remat
         self.blocks = nn.named({f"RDB{i + 1}": ResidualDenseBlock5(nf, gc)
                                 for i in range(3)})
 
@@ -218,11 +245,32 @@ class RRDB(nn.Module):
                 out = blk.forward(p[name], out, train)
             return out * lemda + x
 
-        if REMAT_RRDB:
+        from srcgan_tpu import quant
+
+        # jax.checkpoint TRACES its body even under disable_jit, which would
+        # hand the int8 calibration recorders tracers — remat is value-
+        # neutral, so skip it during a calibration pass.
+        if self.remat and not quant.is_calibrating():
             return jax.checkpoint(run)(p, x)
         return run(p, x)
 
 
-def rrdb_trunk(nf: int, nb: int, gc: int = 32) -> nn.Sequential:
+def rrdb_trunk(nf: int, nb: int, gc: int = 32,
+               remat: bool = False) -> nn.Sequential:
     """Sequential repeat of RRDB blocks (rddb.py:41-45 make_layer)."""
-    return nn.Sequential(*[RRDB(nf, gc) for _ in range(nb)])
+    return nn.Sequential(*[RRDB(nf, gc, remat=remat) for _ in range(nb)])
+
+
+def set_trunk_remat(module: nn.Module, flag: bool) -> int:
+    """Set per-RRDB rematerialization on every RRDB inside ``module``.
+
+    Instance-scoped replacement for the old module-global REMAT_RRDB switch:
+    two trainers with different remat settings now coexist in one process.
+    Returns the number of RRDB instances updated.
+    """
+    n = 0
+    for m in nn.iter_modules(module):
+        if isinstance(m, RRDB):
+            m.remat = flag
+            n += 1
+    return n

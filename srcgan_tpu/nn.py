@@ -316,6 +316,20 @@ def param_count(params: Params) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
 
 
+def iter_modules(mod: Module):
+    """Yield ``mod`` and every submodule, depth-first (all nodes, not just
+    parameterized leaves — cf. iter_leaf_modules)."""
+    yield mod
+    if isinstance(mod, Sequential):
+        children = mod.layers
+    elif isinstance(mod, NamedModules):
+        children = mod.layers.values()
+    else:
+        children = [v for v in mod.__dict__.values() if isinstance(v, Module)]
+    for c in children:
+        yield from iter_modules(c)
+
+
 LEAF_TYPES = (Conv2d, ConvTranspose2d, GroupNorm, InstanceNorm2d, BatchNorm2d)
 
 

@@ -54,6 +54,14 @@ _CTX = QuantContext()
 _REAL_CONV2D = _conv.conv2d
 
 
+def is_calibrating() -> bool:
+    """True inside a quant_mode('calibrate') block (this thread).  RRDB
+    consults this to skip jax.checkpoint during calibration: checkpoint
+    traces its body even under disable_jit, which would hand the eager
+    absmax recorders tracers (remat is value-neutral, so skipping is safe)."""
+    return _CTX.mode == "calibrate"
+
+
 def _quantizable(x, w, groups):
     return (w.shape[2] >= MIN_QUANT_CH and w.shape[3] >= MIN_QUANT_CH
             and groups == 1)
@@ -172,33 +180,20 @@ class quant_mode:
 
     def __init__(self, mode: str, scales: Dict[int, float]):
         self.mode, self.scales = mode, scales
-        self._remat = None
 
     def __enter__(self):
         _CTX.mode, _CTX.scales, _CTX.idx = self.mode, self.scales, 0
         _conv.conv2d = _conv2d_dispatch
         _ops.conv2d = _conv2d_dispatch
-        if self.mode == "calibrate":
-            # Calibration records concrete absmax values and must run truly
-            # eagerly — but jax.checkpoint TRACES its body even under
-            # disable_jit, so a CycleGAN/multitask trainer having flipped
-            # blocks.REMAT_RRDB would hand the recorders tracers.  Remat is
-            # value-neutral; turn it off for the calibration pass.
-            from srcgan_tpu.models import blocks as _blocks
-
-            self._remat = _blocks.REMAT_RRDB
-            _blocks.REMAT_RRDB = False
+        # (calibrate mode: RRDB.forward consults is_calibrating() and skips
+        # its jax.checkpoint wrap itself — remat is instance-scoped now, no
+        # global to neutralize here.)
         return _CTX
 
     def __exit__(self, *exc):
         _CTX.mode = None
         _conv.conv2d = _REAL_CONV2D
         _ops.conv2d = _REAL_CONV2D
-        if self._remat is not None:
-            from srcgan_tpu.models import blocks as _blocks
-
-            _blocks.REMAT_RRDB = self._remat
-            self._remat = None
         return False
 
 

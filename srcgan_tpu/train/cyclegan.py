@@ -88,9 +88,6 @@ class CycleGANTrainer:
         # act_dtype=jnp.bfloat16 halves stored-activation memory for the
         # six-pass backward (params stay fp32; convs accumulate fp32).
         self.act_dtype = act_dtype
-        if remat:
-            from srcgan_tpu.models import blocks as _blocks
-            _blocks.REMAT_RRDB = True
         self.net, self.mode = net, mode
         self.scale = 2 if mode == "x2" else 4
         self.lr, self.d_lr = lr, d_lr
@@ -119,6 +116,13 @@ class CycleGANTrainer:
             d_b_ch = 1
         self.netD_A = models.NLayerDiscriminator(3, 64, 2)
         self.netD_B = models.NLayerDiscriminator(d_b_ch, 64, 2)
+        if remat:
+            # per-RRDB remat on THIS trainer's generators only (instance-
+            # scoped via blocks.set_trunk_remat; a CasTrainer or bench run
+            # in the same process keeps its own non-remat trunks)
+            from srcgan_tpu.models import blocks as _blocks
+            _blocks.set_trunk_remat(self.netG_A, True)
+            _blocks.set_trunk_remat(self.netG_B, True)
 
         self.fake_A_pool = ImagePool(pool_size)
         self.fake_B_pool = ImagePool(pool_size)

@@ -44,9 +44,6 @@ class MultiTaskTrainer:
                  gan_mode: str = "lsgan", lr_policy: str = "cosine",
                  num_epochs: int = 25, remat: bool = True):
         self.remat = remat
-        if remat:
-            from srcgan_tpu.models import blocks as _blocks
-            _blocks.REMAT_RRDB = True
         self.mode = mode
         self.lr, self.d_lr = lr, d_lr
         self.lambda_identity = lambda_identity
@@ -58,6 +55,12 @@ class MultiTaskTrainer:
                                          num_layers=2)
         self.netG_A = models.define_G(1, 3, ngf, netG, norm)
         self.netG_B = models.define_G(3, 1, ngf, netG, norm)
+        if remat:
+            # per-RRDB remat on THIS trainer's generators only (instance-
+            # scoped; other models in the process are unaffected)
+            from srcgan_tpu.models import blocks as _blocks
+            for net in (self.netG_C, self.netG_A, self.netG_B):
+                _blocks.set_trunk_remat(net, True)
         self.netD_A = models.NLayerDiscriminator(3, 64, 2)
         self.netD_B = models.NLayerDiscriminator(1, 64, 2)
 

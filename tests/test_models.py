@@ -251,3 +251,25 @@ class TestRDB5Schedules:
         a = m._forward_naive(p, x)
         c = m._forward_paired(p, x)
         np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=5e-6)
+
+    def test_schedule_context(self):
+        """rdb5_schedule() scopes the forward schedule like matmul_precision
+        scopes conv precision: nested overrides restore on exit, and every
+        schedule routes through forward() to the same values."""
+        from srcgan_tpu.models import blocks
+        from srcgan_tpu.models.blocks import ResidualDenseBlock5
+        m = ResidualDenseBlock5(32, 16)
+        p = m.init(jax.random.PRNGKey(5))
+        x = jnp.asarray(rand(1, 8, 8, 32))
+        assert blocks.current_rdb5_schedule() == blocks.DEFAULT_RDB5_SCHEDULE
+        outs = {}
+        for sched in ("naive", "grouped", "paired"):
+            with blocks.rdb5_schedule(sched):
+                assert blocks.current_rdb5_schedule() == sched
+                outs[sched] = np.asarray(m.forward(p, x, train=False))
+        assert blocks.current_rdb5_schedule() == blocks.DEFAULT_RDB5_SCHEDULE
+        np.testing.assert_allclose(outs["grouped"], outs["naive"], atol=5e-6)
+        np.testing.assert_allclose(outs["paired"], outs["naive"], atol=5e-6)
+        with pytest.raises(ValueError):
+            with blocks.rdb5_schedule("bogus"):
+                pass

@@ -90,6 +90,28 @@ class TestCycleGAN:
         out2 = pool.query(imgs + 1)
         assert out2.shape == imgs.shape
 
+    def test_remat_is_instance_scoped(self):
+        """Two trainers with different remat settings coexist in one process:
+        constructing a remat=True GAN trainer must NOT flip rematerialization
+        on any other model's trunks (the old module-global REMAT_RRDB flag
+        did, silently taxing ~15% extra trunk FLOPs everywhere)."""
+        from srcgan_tpu import models, nn
+        from srcgan_tpu.models.blocks import RRDB
+
+        def remat_flags(mod):
+            return [m.remat for m in nn.iter_modules(mod)
+                    if isinstance(m, RRDB)]
+
+        plain = models.RDDBNet(1, 1, 2, nf=8, nb=1, gc=4)
+        assert remat_flags(plain) == [False]
+        gan = CycleGANTrainer(net="1", mode="x2", pool_size=0, remat=True)
+        assert all(remat_flags(gan.netG_A)) and remat_flags(gan.netG_A)
+        # the GAN trainer's remat did not leak to the existing model...
+        assert remat_flags(plain) == [False]
+        # ...nor to models constructed afterwards
+        cas = CasTrainer(sr_model="RDDBNet", c_model="ResDeconv", up=2)
+        assert not any(remat_flags(cas.netG_A2C))
+
 
 class TestOptim:
     def test_reference_cosine_compounds(self):
