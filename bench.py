@@ -26,6 +26,33 @@ TORCH_ITERS = 2
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_torch_baseline.json")
 
+# v5e per-chip MXU peak (bf16).  MFU lines are judged against the machine,
+# not the torch-CPU strawman; assumed peak is emitted alongside so the
+# number stays interpretable on other chips.
+PEAK_BF16_TFLOPS = 197.0
+
+
+def _cost_flops(fn, *args) -> float | None:
+    """Model-FLOP count of jit(fn)(*args) via XLA's compiled cost analysis.
+
+    Returns None when the backend exposes no analysis.  Programs are lowered
+    without Pallas custom calls (callers gate) so every FLOP is visible to
+    the analysis."""
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_pct(flops, seconds) -> float:
+    return round(100.0 * flops / seconds / (PEAK_BF16_TFLOPS * 1e12), 1)
+
 
 def bench_jax() -> dict:
     import jax
@@ -77,6 +104,20 @@ def bench_jax() -> dict:
         per_forward = (tk - t1) / iters
         out_mp = BATCH * (IN_SIZE * 4) ** 2 / 1e6
         results[mode] = out_mp / per_forward
+        if mode == "bf16":
+            # MFU of the flagship forward: model FLOPs from XLA's cost
+            # analysis of the SAME computation lowered with the pure-XLA
+            # folded tail (the Pallas tail's custom call hides its FLOPs
+            # from the analysis; its share of the program is ~8%).
+            import jax.numpy as _jnp
+
+            from srcgan_tpu.models import rddb as _rddb
+
+            with _rddb.no_pallas_tail():
+                fl = _cost_flops(lambda p_, v_: _jnp.mean(model.fwd(p_, v_)),
+                                 p, xx)
+            if fl:
+                results["fwd_mfu_pct"] = _mfu_pct(fl, per_forward)
     config.set_conv_precision("highest")
     results["platform"] = dev.platform
     return results
@@ -118,10 +159,17 @@ def bench_train() -> dict:
 
     t1, t5 = timed_chain(1), timed_chain(5)
     per = (t5 - t1) / 4
+    out = {"train_step_ms": round(per * 1000, 1),
+           "train_samples_per_s": round(b / per, 1),
+           "train_target_mps": round(b * s * s / 1e6 / per, 2)}
+    # return the FULL new state + metrics so XLA cannot dead-code any of the
+    # step (returning a scalar DCEs the whole update: measured flops == 1)
+    fl = _cost_flops(lambda st, a, t: tr.train_step(st, a, t, 1e-4),
+                     st0, src, tar)
+    if fl:
+        out["train_mfu_pct"] = _mfu_pct(fl, per)
     config.set_conv_precision("highest")
-    return {"train_step_ms": round(per * 1000, 1),
-            "train_samples_per_s": round(b / per, 1),
-            "train_target_mps": round(b * s * s / 1e6 / per, 2)}
+    return out
 
 
 def bench_gan() -> dict:
@@ -363,6 +411,9 @@ def main():
             "torch_cpu_mps": round(torch_mps, 3),
             "platform": jax_res["platform"],
             "batch": BATCH, "in_size": IN_SIZE, "scale": 4,
+            **({"fwd_mfu_pct": jax_res["fwd_mfu_pct"]}
+               if "fwd_mfu_pct" in jax_res else {}),
+            "peak_bf16_tflops_assumed": PEAK_BF16_TFLOPS,
             **train_res,
         },
     }))
