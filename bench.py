@@ -176,10 +176,12 @@ def bench_gan() -> dict:
     """x4 adversarial iteration (RDDB-family G + PatchGAN D, bf16 acts).
 
     BASELINE.json config "x4 RGB adversarial training".  One iteration =
-    g_step (six generator passes + 2 D forwards, joint Adam) + d_step (4 D
-    forwards, Adam) — train.py:325-340.  The host-side ImagePool (~us) is
-    excluded: the scan passes the step's own fakes, which matches the pool's
-    output distribution for timing purposes.
+    the fused gd_step: G update (six generator passes + 2 D forwards, joint
+    Adam) + D update (4 D forwards, Adam) in ONE program — exactly
+    train.py:325-340 with pool_size=0 (the pool is then the identity).
+    remat=False is the right bs=1 config: the six-pass backward fits HBM
+    without rematerialization below batch ~3, and recompute costs ~1.6x
+    (measured 262 -> 168 ms/iter on v5e).
     """
     import jax
     import jax.numpy as jnp
@@ -188,7 +190,8 @@ def bench_gan() -> dict:
     from srcgan_tpu.train.cyclegan import CycleGANTrainer
 
     config.set_conv_precision("default")
-    tr = CycleGANTrainer(net="1", mode="x4", act_dtype=jnp.bfloat16)
+    tr = CycleGANTrainer(net="1", mode="x4", act_dtype=jnp.bfloat16,
+                         pool_size=0, remat=False)
     st0 = tr.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     b, s = 1, 256
@@ -200,9 +203,7 @@ def bench_gan() -> dict:
         @jax.jit
         def chain(st, a, bb, seed):
             def body(carry, _):
-                stc, aux = tr.g_step(carry, a + seed * 1e-6, bb, 1e-4)
-                stc, _ = tr.d_step(stc, a, bb, aux["fake_A"], aux["fake_B"],
-                                   1e-5)
+                stc, _ = tr.gd_step(carry, a + seed * 1e-6, bb, 1e-4, 1e-5)
                 return stc, 0.0
             st, _ = jax.lax.scan(body, st, jnp.arange(K))
             return jnp.mean(st.d.params["D_A"]["0"]["w"])

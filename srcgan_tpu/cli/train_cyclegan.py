@@ -29,6 +29,10 @@ def build_parser():
     p.add_argument("--bf16-acts", action="store_true",
                    help="bf16 activations with fp32 master params (halves the "
                         "six-pass backward memory; enables larger batches)")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable per-pass rematerialization: ~1.6x faster "
+                        "iterations, but the six-pass backward must fit HBM "
+                        "(it does below batch ~3 at 256^2 on a 16 GB chip)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--perceptual", type=str, default=None,
                    help="VGG16 weights (.npz from convert_vgg or torchvision "
@@ -81,6 +85,7 @@ def _run(args, preempted):
                               pool_size=args.pool_size,
                               num_epochs=args.num_epochs,
                               act_dtype=jnp.bfloat16 if args.bf16_acts else None,
+                              remat=not args.no_remat,
                               perceptual_params=load_perceptual(args.perceptual),
                               perceptual_weight=args.perceptual_weight)
     state = trainer.init(jax.random.PRNGKey(args.seed))

@@ -167,6 +167,9 @@ class CycleGANTrainer:
     def g_step(self, state: CycleState, realA, realB, lr):
         """Generator update with frozen discriminators; returns the generated
         images for the host-side pools."""
+        return self._g_update(state, realA, realB, lr)
+
+    def _g_update(self, state: CycleState, realA, realB, lr):
         if self.act_dtype is not None:
             realA = realA.astype(self.act_dtype)
             realB = realB.astype(self.act_dtype)
@@ -253,6 +256,11 @@ class CycleGANTrainer:
     def d_step(self, state: CycleState, realA, realB, fake_A_pooled,
                fake_B_pooled, lr):
         """Discriminator update on pooled fakes (train.py:262-290, 336-340)."""
+        return self._d_update(state, realA, realB, fake_A_pooled,
+                              fake_B_pooled, lr)
+
+    def _d_update(self, state: CycleState, realA, realB, fake_A_pooled,
+                  fake_B_pooled, lr):
 
         def loss_fn(dp, dstate):
             new_state = {}
@@ -281,12 +289,31 @@ class CycleGANTrainer:
         metrics = {"loss_D_A": l_da, "loss_D_B": l_db}
         return CycleState(state.g, new_d, d_mstate), metrics
 
+    # -- fused G+D iteration (pool-pass-through fast path) -------------------
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def gd_step(self, state: CycleState, realA, realB, g_lr, d_lr):
+        """One fused program: G update, then D update on THIS step's fakes.
+
+        Exactly optimize_parameters when pool_size == 0 (ImagePool.query is
+        the identity then, train.py:37-38), with one device dispatch instead
+        of two and no fake-image D2H/H2D hop — through the axon relay that
+        saves ~2x30 ms + transfer per iteration at bs=1."""
+        state, aux = self._g_update(state, realA, realB, g_lr)
+        state, d_metrics = self._d_update(
+            state, realA, realB, jax.lax.stop_gradient(aux["fake_A"]),
+            jax.lax.stop_gradient(aux["fake_B"]), d_lr)
+        aux.update(d_metrics)
+        return state, aux
+
     # -- full iteration (optimize_parameters, train.py:325-340) --------------
 
     def optimize_parameters(self, state: CycleState, realA, realB, g_lr=None,
                             d_lr=None):
         g_lr = self.lr if g_lr is None else g_lr
         d_lr = self.d_lr if d_lr is None else d_lr
+        if self.fake_A_pool.pool_size == 0:
+            return self.gd_step(state, realA, realB, g_lr, d_lr)
         state, aux = self.g_step(state, realA, realB, g_lr)
         fake_A = self.fake_A_pool.query(np.asarray(aux["fake_A"]))
         fake_B = self.fake_B_pool.query(np.asarray(aux["fake_B"]))

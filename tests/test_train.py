@@ -90,6 +90,43 @@ class TestCycleGAN:
         out2 = pool.query(imgs + 1)
         assert out2.shape == imgs.shape
 
+    def test_fused_gd_step_matches_two_step_when_pool_passthrough(self):
+        """pool_size=0 makes ImagePool.query the identity (train.py:37-38),
+        so the fused single-program gd_step must produce the SAME updates as
+        g_step + host pool round-trip + d_step."""
+        import jax.tree_util as jtu
+
+        rng = np.random.default_rng(7)
+        realB = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+        realA = jnp.asarray(np.asarray(realB)[:, ::2, ::2, :])
+
+        def run(fused):
+            tr = CycleGANTrainer(net="1", mode="x2", pool_size=0, remat=False)
+            st = tr.init(jax.random.PRNGKey(3))
+            for _ in range(2):
+                if fused:
+                    st, aux = tr.optimize_parameters(st, realA, realB)
+                else:  # the unfused path, exactly as pool_size>0 runs it
+                    st, aux = tr.g_step(st, realA, realB, tr.lr)
+                    fa = tr.fake_A_pool.query(np.asarray(aux["fake_A"]))
+                    fb = tr.fake_B_pool.query(np.asarray(aux["fake_B"]))
+                    st, dm = tr.d_step(st, realA, realB, jnp.asarray(fa),
+                                       jnp.asarray(fb), tr.d_lr)
+                    aux.update(dm)
+            return st, aux
+
+        st_f, aux_f = run(True)
+        st_u, aux_u = run(False)
+        for a, b in zip(jtu.tree_leaves(st_f.g.params) +
+                        jtu.tree_leaves(st_f.d.params),
+                        jtu.tree_leaves(st_u.g.params) +
+                        jtu.tree_leaves(st_u.d.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
+        for k in ("loss_G", "loss_D_A", "loss_D_B"):
+            np.testing.assert_allclose(float(aux_f[k]), float(aux_u[k]),
+                                       rtol=2e-5, atol=2e-6)
+
     def test_remat_is_instance_scoped(self):
         """Two trainers with different remat settings coexist in one process:
         constructing a remat=True GAN trainer must NOT flip rematerialization
