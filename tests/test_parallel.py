@@ -191,3 +191,30 @@ class TestSpatialRDDB:
         got = parallel.make_spatial_infer(m, mesh)(p, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestMultiProcessDP:
+    def test_two_process_dp_matches_single_process(self):
+        """The DCN analog this host can produce: 2 processes x 4 virtual CPU
+        devices via jax.distributed (gloo collectives) vs 1 process x 4 —
+        per-host data.batches sharding, global 8-device mesh, the gradient
+        psum crossing the process boundary.  scripts/multiproc_dp.py asserts
+        step-1 global gradients tight (<=1e-4 rel) and losses over 3 steps
+        (<=5e-3); params get only the Adam sign-flip envelope (see the
+        worker's drift-model comment).  Runs in subprocesses so the suite's
+        own 8-device backend is not disturbed."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "multiproc_dp.py")],
+            cwd=repo, capture_output=True, text=True, timeout=560)
+        last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        assert last, f"no JSON verdict:\n{proc.stdout}\n{proc.stderr}"
+        verdict = json.loads(last[-1])
+        if proc.returncode == 3 or verdict.get("skip"):
+            pytest.skip(f"jax.distributed unsupported here: {verdict}")
+        assert proc.returncode == 0 and verdict["ok"], verdict
