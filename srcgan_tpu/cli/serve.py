@@ -23,6 +23,19 @@ MXU >90% idle at these model sizes.
 
 Stdlib-only (http.server + threading): no web framework in the image, and
 none needed.
+
+Shutdown drains: ``Batcher.close()`` stops admitting new requests (late
+submits get a 503) but runs every already-queued group to completion before
+the worker exits, so no accepted request is ever dropped on SIGINT/shutdown.
+Oversized bodies are rejected with 413 before the body is read
+(``--max-request-mb``).
+
+int8 concurrency: ``quant.quant_mode`` patches the conv dispatch
+process-globally, but every device call goes through the Batcher's single
+worker thread, so an int8 predictor is safe under concurrent HTTP clients.
+The unsafe pattern is two predictors (or a predictor plus any other tracing
+code) in one process with different quant modes — run one predictor per
+process.
 """
 from __future__ import annotations
 
@@ -55,7 +68,13 @@ def build_parser():
                    help="comma-separated HxW gray input shapes to pre-compile "
                         "at startup (e.g. 128x128,256x256) so first requests "
                         "don't pay the ~20 s jit compile")
+    p.add_argument("--max-request-mb", type=float, default=16.0,
+                   help="reject request bodies larger than this with 413")
     return p
+
+
+class ShuttingDown(RuntimeError):
+    """Raised by Batcher.submit once close() has begun (HTTP 503)."""
 
 
 class _Request:
@@ -88,6 +107,8 @@ class Batcher:
     def submit(self, img: np.ndarray) -> np.ndarray:
         req = _Request(img)
         with self._lock:
+            if self._stop:
+                raise ShuttingDown("server is shutting down")
             self._queues[img.shape].append(req)
             self.stats["requests"] += 1
             self._lock.notify()
@@ -105,11 +126,28 @@ class Batcher:
         return {"p50_s": round(q(0.5), 4), "p90_s": round(q(0.9), 4),
                 "p99_s": round(q(0.99), 4)}
 
-    def close(self):
+    def close(self, drain: bool = True, timeout: float = 60.0):
+        """Stop admitting requests; by default run every queued group first.
+
+        With ``drain=False`` (or on join timeout) the remaining waiters are
+        failed with ShuttingDown instead of being left hanging.
+        """
         with self._lock:
             self._stop = True
-            self._lock.notify()
-        self._thread.join(timeout=5)
+            if not drain:
+                self._fail_queued_locked()
+            self._lock.notify_all()
+        self._thread.join(timeout=timeout)
+        with self._lock:
+            self._fail_queued_locked()
+
+    def _fail_queued_locked(self):
+        for q in self._queues.values():
+            for r in q:
+                r.err = ShuttingDown("server shut down before running this "
+                                     "request")
+                r.event.set()
+        self._queues.clear()
 
     def _take_group(self):
         """Largest same-shape group, capped at max_batch (holds the lock)."""
@@ -127,13 +165,16 @@ class Batcher:
             with self._lock:
                 while not self._stop and not any(self._queues.values()):
                     self._lock.wait()
-                if self._stop:
-                    break
-                # micro-batching window: wait for stragglers of any shape
-                deadline = time.monotonic() + self.max_wait_s
-                while (sum(map(len, self._queues.values())) < self.max_batch
-                       and time.monotonic() < deadline):
-                    self._lock.wait(timeout=deadline - time.monotonic())
+                if self._stop and not any(self._queues.values()):
+                    break  # drained: nothing queued remains
+                if not self._stop:
+                    # micro-batching window: wait for stragglers of any shape
+                    deadline = time.monotonic() + self.max_wait_s
+                    while (not self._stop
+                           and sum(map(len, self._queues.values()))
+                           < self.max_batch
+                           and time.monotonic() < deadline):
+                        self._lock.wait(timeout=deadline - time.monotonic())
                 group = self._take_group()
             if not group:
                 continue
@@ -185,6 +226,14 @@ def make_handler(batcher, config):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > config["max_request_bytes"]:
+                    # reject before reading the body; the unread body makes
+                    # the connection unreusable, so close it
+                    self.close_connection = True
+                    self._json(413, {"error": "request body too large "
+                                     f"({n} > {config['max_request_bytes']} "
+                                     "bytes)"})
+                    return
                 from PIL import Image
 
                 img = np.asarray(Image.open(io.BytesIO(self.rfile.read(n))))
@@ -201,6 +250,8 @@ def make_handler(batcher, config):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except ShuttingDown as e:
+                self._json(503, {"error": str(e)})
             except Exception as e:
                 self._json(400, {"error": str(e)})
 
@@ -238,7 +289,8 @@ def make_server(args) -> ThreadingHTTPServer:
                       max_wait_s=args.max_wait_ms / 1e3)
     config = {"netGA": args.netGA, "netGB": args.netGB, "up": pred.up,
               "lab": pred.lab, "bf16": pred.bf16,
-              "max_batch": args.max_batch}
+              "max_batch": args.max_batch,
+              "max_request_bytes": int(args.max_request_mb * 1024 * 1024)}
     srv = ThreadingHTTPServer((args.host, args.port),
                               make_handler(batcher, config))
     srv.batcher = batcher

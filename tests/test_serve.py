@@ -125,6 +125,56 @@ def test_bad_body_is_a_400_not_a_crash(server):
     assert status == 200
 
 
+def test_oversized_request_is_413_before_reading_body(server):
+    """Bodies over --max-request-mb are rejected from the header alone."""
+    port = server.server_address[1]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.putrequest("POST", "/predict")
+    conn.putheader("Content-Length", str(64 * 1024 * 1024))  # 64 MB > 16 MB
+    conn.endheaders()  # never send the body: the server must not wait for it
+    r = conn.getresponse()
+    assert r.status == 413
+    assert b"too large" in r.read()
+    conn.close()
+    # server still alive and serving
+    status, _, _ = _post_png(port, np.zeros((8, 8), np.uint8))
+    assert status == 200
+
+
+def test_close_drains_queued_requests():
+    """close() runs every accepted request; late submits get ShuttingDown."""
+    import time
+
+    class SlowPredictor:
+        def predict(self, batch):
+            time.sleep(0.05)
+            return batch
+
+    # max_batch=1 so three submits queue as three separate device groups
+    b = serve.Batcher(SlowPredictor(), max_batch=1, max_wait_s=0.0)
+    outs, errs = {}, {}
+
+    def call(i):
+        try:
+            outs[i] = b.submit(np.full((4, 4, 1), i, np.uint8))
+        except Exception as e:  # noqa: BLE001 - recording for assertions
+            errs[i] = e
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    time.sleep(0.02)  # let the worker start on the first group
+    b.close()  # must block until all three queued groups have run
+    for t in threads:
+        t.join(timeout=10)
+    assert not errs, errs
+    assert sorted(outs) == [0, 1, 2]
+    for i, o in outs.items():
+        assert np.array_equal(o, np.full((4, 4, 1), i, np.uint8))
+    with pytest.raises(serve.ShuttingDown):
+        b.submit(np.zeros((4, 4, 1), np.uint8))
+
+
 def test_warmup_precompiles(tmp_path):
     """--warmup makes the first real request hit a cached compile."""
     sr = models.ESPCN(1, 1, 2)
