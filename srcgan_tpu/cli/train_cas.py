@@ -60,6 +60,10 @@ def build_parser():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MXU conv mode (fp32 params; ~4x step speedup "
                         "on TPU vs fp32-highest)")
+    p.add_argument("--bf16-acts", action="store_true",
+                   help="additionally store activations/saved residuals in "
+                        "bf16 (fp32 master params + fp32 Adam; halves the "
+                        "train step's HBM traffic)")
     p.add_argument("--resume", action="store_true",
                    help="resume from <checkpoints>/casstate_latest.npz "
                         "(full state: params + Adam moments + epoch)")
@@ -132,7 +136,7 @@ def _run(args, preempted):
     from srcgan_tpu.train.state import load_train_state, save_train_state
     from srcgan_tpu.utils import Logger
 
-    if args.bf16:
+    if args.bf16 or args.bf16_acts:
         config.set_conv_precision("default")
     ver = "G2LAB" if args.lab else "G2RGB"
     trainer = CasTrainer(sr_model=args.SRModel, c_model=args.CModel, up=args.up,
@@ -140,7 +144,8 @@ def _run(args, preempted):
                          lr_policy=args.lr_policy, num_epochs=args.num_epochs,
                          remat=args.remat,
                          perceptual_params=load_perceptual(args.perceptual),
-                         perceptual_weight=args.perceptual_weight)
+                         perceptual_weight=args.perceptual_weight,
+                         act_dtype=jnp.bfloat16 if args.bf16_acts else None)
     state = trainer.init(jax.random.PRNGKey(args.seed))
     start_epoch = 1
     state_path = os.path.join(args.checkpoints, "casstate_latest.npz")

@@ -47,13 +47,21 @@ class CasTrainer:
                  up: int = 2, lr: float = 1e-4, const: bool = False,
                  lab: bool = False, lr_policy: str = "cosine",
                  num_epochs: int = 50, remat: bool = False,
-                 perceptual_params=None, perceptual_weight: float = 1.0):
+                 perceptual_params=None, perceptual_weight: float = 1.0,
+                 act_dtype=None):
         self.sr_name, self.c_name = sr_model, c_model
         self.up, self.lr, self.const, self.lab = up, lr, const, lab
         self.lr_policy, self.num_epochs = lr_policy, num_epochs
         # remat=True wraps each network apply in jax.checkpoint — trades one
         # extra forward for activation memory; for large tiles / up=8.
         self.remat = remat
+        # act_dtype=jnp.bfloat16: bf16 compute with fp32 master params (same
+        # pattern as CycleGANTrainer) — params and inputs are cast per step,
+        # the backward's saved residuals are stored bf16 (halving the
+        # bandwidth the XLA cost model says dominates the step), grads flow
+        # back through the cast to fp32 masters and the Adam update stays
+        # fp32.  Losses/metrics are computed in fp32.
+        self.act_dtype = act_dtype
         # Optional VGG16 perceptual term (reference losses.py:344-393) added
         # to both stage losses: loss = L1 + w * VGG16.  The frozen VGG params
         # are closed over (compiled as constants).  LAB targets are ab-only
@@ -106,10 +114,18 @@ class CasTrainer:
         """
         real_BC, tgt_B = self._split_targets(realB)
         real_BA = self._degrade(real_BC)
+        sr_in, c_in = real_BA, real_BC
+        if self.act_dtype is not None:
+            sr_in = sr_in.astype(self.act_dtype)
+            c_in = c_in.astype(self.act_dtype)
 
         def _apply(net, p, v, st):
+            if self.act_dtype is not None:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(self.act_dtype), p)
             f = lambda p_, v_: net.apply(p_, v_, state=st, train=True)
-            return jax.checkpoint(f)(p, v) if self.remat else f(p, v)
+            y, st2 = jax.checkpoint(f)(p, v) if self.remat else f(p, v)
+            return y.astype(jnp.float32), st2
 
         def _perceptual(y, t):
             if self.perceptual_params is None:
@@ -119,7 +135,7 @@ class CasTrainer:
                 self.perceptual_params, y, t)
 
         def sr_loss(p, st):
-            fake_BC, st2 = _apply(self.netG_A2C, p, real_BA, st)
+            fake_BC, st2 = _apply(self.netG_A2C, p, sr_in, st)
             loss = losses.l1(fake_BC, real_BC) + _perceptual(fake_BC, real_BC)
             return loss, (fake_BC, st2)
 
@@ -127,7 +143,7 @@ class CasTrainer:
             sr_loss, has_aux=True)(state.sr.params, state.sr_model_state)
 
         def c_loss(p, st):
-            fake_BB, st2 = _apply(self.netG_C2B, p, real_BC, st)
+            fake_BB, st2 = _apply(self.netG_C2B, p, c_in, st)
             loss = losses.l1(fake_BB, tgt_B) + _perceptual(fake_BB, tgt_B)
             return loss, (fake_BB, st2)
 

@@ -367,6 +367,38 @@ class TestBF16Training:
         # trajectories agree to bf16 precision (~0.4% mantissa) + drift
         np.testing.assert_allclose(bf16, fp32, rtol=0.05)
 
+    def test_act_dtype_bf16_masters_stay_fp32(self):
+        """act_dtype=bf16 (mixed precision: bf16 compute, fp32 master params
+        + fp32 Adam) descends, tracks the fp32 trajectory, and never
+        downcasts the master params or optimizer moments."""
+        import jax.numpy as jnp
+        from srcgan_tpu.train import CasTrainer
+        rng = np.random.default_rng(1)
+        batches = [rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+                   for _ in range(6)]
+
+        def run(act_dtype):
+            tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2,
+                            act_dtype=act_dtype)
+            st = tr.init(jax.random.PRNGKey(0))
+            out = []
+            for tar in batches:
+                st, m = tr.train_step(st, jnp.zeros((2, 32, 32, 1)),
+                                      jnp.asarray(tar), 1e-3)
+                out.append((float(m["loss_SR"]), float(m["loss_C"])))
+            return np.array(out), st
+
+        fp32, _ = run(None)
+        bf16, st = run(jnp.bfloat16)
+        assert np.all(np.isfinite(bf16))
+        assert bf16[-1, 0] < bf16[0, 0] and bf16[-1, 1] < bf16[0, 1]
+        np.testing.assert_allclose(bf16, fp32, rtol=0.05)
+        for leaf in jax.tree_util.tree_leaves((st.sr.params, st.c.params,
+                                               st.sr.opt_state)):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.floating):
+                assert leaf.dtype == jnp.float32, leaf.dtype
+
 
 class TestParallelDecode:
     def test_worker_batches_identical(self, tmp_path):
