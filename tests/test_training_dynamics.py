@@ -6,37 +6,44 @@ degradation — trainCas.py:133-153) against our jit-fused CasTrainer step.
 
 What is asserted, and why (the drift model):
 
-L1's gradient is sign(pred - target)/N — non-smooth.  Wherever the residual
-|pred - target| is within fp32 forward noise (~1e-6) of zero, the two
-frameworks can disagree on the SIGN of that pixel's gradient contribution at
-identical parameters.  At freshly-initialized params almost no residual is
-near zero, so full per-layer gradients agree to reduction-order noise
-(~2e-5 rel-L2).  But ALONG a converging trajectory the residual distribution
-piles up near zero, and by step 7-11 the sign-flip population pushes the
-full-gradient rel-L2 to O(1e-3..1e-2) — host-dependent (BLAS reduction
-order), measured 6.3e-3 on one host and <5e-4 on another for the SAME
-computation.  That is the drift model's own prediction, not a math bug, so
-the matched-point check must exclude exactly those pixels:
+Two mechanisms make fp32 gradients disagree between frameworks at IDENTICAL
+parameters, neither of which is a math bug:
+(a) L1's gradient is sign(pred - target)/N — non-smooth; wherever the
+    residual is within forward noise of zero the two frameworks can disagree
+    on the SIGN of that pixel's contribution.
+(b) Backprop conditioning: each framework sums reductions in a different
+    order (BLAS kernel choice, thread partitioning — the 8-virtual-device
+    CPU backend the suite pins changes it too).  The resulting ~1e-7
+    relative forward differences are amplified through the deep
+    conv+BatchNorm backward; measured amplification reaches ~1e4-1e5 a few
+    optimization steps into the trajectory (per-layer full-gradient rel-L2
+    7e-3 at step 3 on this host in fp32 — with 99.95% of pixels residual-
+    masked IN, so (a) alone does not explain it).
+Both mechanisms are artifacts of finite precision, so the tight check runs
+in float64, where the same amplification acts on 1e-16 noise (measured
+per-layer rel-L2: 1.3e-8 SR / 8.6e-7 colorizer at the fp32-worst
+checkpoint) and a genuine math bug — wrong transpose, padding, stride, BN
+semantics — still produces O(1) error:
 
-1. Matched-point MASKED gradients at steps {0,3,7,11} along OUR trajectory:
-   export our params to torch, and in BOTH frameworks differentiate the
-   residual-masked L1  sum(mask*|pred-tgt|)/sum(mask)  with one shared mask
-   `|residual| > 1e-4` (100x the forward noise; computed once from our
-   forward, applied as a constant on both sides).  Per-layer relative-L2
-   must agree <= 5e-4 (this host's measured masked floor: <= 1.5e-5 across
-   all layers x 4 checkpoints on the CPU backend the suite pins — the bound
-   is ~35x the floor and a math bug in conv/degradation/loss cannot hide
-   under it; masking makes the floor host-independent because any pixel
-   whose L1 sign could differ between frameworks lies 100x inside the
-   excluded zone).
-2. Matched-point FULL gradients (the trainer's real grads path) get only the
-   loose envelope the sign-flip model predicts: per-layer rel-L2 <= 5e-2
-   (measured up to 6.3e-3 at step 7 on the worst host seen).
+1. Matched-point FLOAT64 masked gradients at steps {0,3,7,11} along OUR
+   trajectory: export our params to torch, and in BOTH frameworks
+   differentiate the residual-masked L1  sum(mask*|pred-tgt|)/sum(mask)
+   with one shared mask `|residual| > 1e-4` (masking keeps the comparison
+   well-defined at L1's kink; computed once from our fp32 forward, applied
+   as a constant on both sides) with float64 params/inputs.  Per-layer
+   relative-L2 must agree <= 3e-5 (~35x the measured 8.6e-7 floor).
+2. Matched-point FULL fp32 gradients (the trainer's real grads path) get
+   only the loose envelope mechanism (b) predicts: per-layer rel-L2 <= 5e-2
+   (measured up to 7e-3 at step 3 on this host/backend).
 3. Matched-point plain-L1 loss values agree <= 2e-5.
 4. Step 0 (identical params, pre-update): losses match to fp32 precision.
-5. Steps 0-2 (before sign-flip compounding): rtol 1e-3.
+5. Steps 0-2 (before amplification compounds): rtol 1e-3.
 6. Full trajectory: 6e-2 envelope (measured max 1.7e-2; headroom for
    host-to-host reduction-order variance) + both columns actually descend.
+
+The torch init RNG is pinned (manual_seed(0)): the fp32 envelopes above are
+trajectory-dependent, and an unpinned init made this test's outcome depend
+on which tests ran before it (red in full-suite order, green alone).
 """
 import numpy as np
 import pytest
@@ -99,12 +106,15 @@ def residual_masks(tr, state, realB, tau=MASK_TAU):
     return maskA, maskB
 
 
-def our_masked_grads(tr, state, realB, maskA, maskB):
-    """Gradients of the residual-masked L1 losses through OUR forward path
-    (same nets, same _split_targets/_degrade helpers CasTrainer.grads uses)."""
-    real_BC, tgt_B = tr._split_targets(realB)
+def our_masked_grads_f64(tr, state, realB, maskA, maskB):
+    """float64 gradients of the residual-masked L1 losses through OUR
+    forward path (same nets, same _split_targets/_degrade helpers
+    CasTrainer.grads uses).  Requires jax_enable_x64."""
+    real_BC, tgt_B = tr._split_targets(jnp.asarray(realB, jnp.float64))
     real_BA = tr._degrade(real_BC)
-    mA, mB = jnp.asarray(maskA), jnp.asarray(maskB)
+    mA = jnp.asarray(maskA, jnp.float64)
+    mB = jnp.asarray(maskB, jnp.float64)
+    to64 = lambda t: jtu.tree_map(lambda a: jnp.asarray(a, jnp.float64), t)
 
     def lossA(p):
         y, _ = tr.netG_A2C.apply(p, real_BA, state=state.sr_model_state,
@@ -116,7 +126,8 @@ def our_masked_grads(tr, state, realB, maskA, maskB):
                                  train=True)
         return jnp.sum(mB * jnp.abs(y - tgt_B)) / jnp.sum(mB)
 
-    return jax.grad(lossA)(state.sr.params), jax.grad(lossB)(state.c.params)
+    return (jax.grad(lossA)(to64(state.sr.params)),
+            jax.grad(lossB)(to64(state.c.params)))
 
 
 def torch_grads_at(tr, ref_espcn, ref_rd, state, tar, maskA, maskB, up=2):
@@ -126,41 +137,53 @@ def torch_grads_at(tr, ref_espcn, ref_rd, state, tar, maskA, maskB, up=2):
     reference's two loss computations on the same batch, and maps the torch
     gradients back into our pytree layout with the same importer that maps
     weights (a gradient transforms identically to its parameter under the
-    OIHW->HWIO transpose).  Returns both the FULL-L1 grads (loose check) and
-    the residual-MASKED grads (tight check), plus the plain loss values.
+    OIHW->HWIO transpose).  Returns the fp32 FULL-L1 grads (loose check),
+    the float64 residual-MASKED grads (tight check; double nets/inputs),
+    and the fp32 plain loss values.
     """
-    nA = ref_espcn.ESPCN(1, 1, up)
-    nB = ref_rd.ResDeconv(src_ch=1, tar_ch=3)
-    nA.load_state_dict({k: torch.tensor(np.asarray(v)) for k, v in
-                        interop.export_torch_state_dict(
-                            tr.netG_A2C, state.sr.params).items()})
-    nB.load_state_dict({k: torch.tensor(np.asarray(v)) for k, v in
-                        interop.export_torch_state_dict(
-                            tr.netG_C2B, state.c.params).items()})
-    real_B = torch.from_numpy(tar.transpose(0, 3, 1, 2)).float()
-    lum = torch.tensor([0.2125, 0.7154, 0.0721]).view(1, 3, 1, 1)
-    real_BC = (real_B * lum).sum(1, keepdim=True)
-    real_BA = F.interpolate(real_BC, scale_factor=1.0 / up, mode="bilinear")
-    mA = torch.from_numpy(maskA.transpose(0, 3, 1, 2))
-    mB = torch.from_numpy(maskB.transpose(0, 3, 1, 2))
-    nA.train(); nB.train()
-    outA, outB = nA(real_BA), nB(real_BC)
-    lossA = torch.mean(torch.abs(outA - real_BC))
-    lossB = torch.mean(torch.abs(outB - real_B))
+    def build(double):
+        nA = ref_espcn.ESPCN(1, 1, up)
+        nB = ref_rd.ResDeconv(src_ch=1, tar_ch=3)
+        dt = torch.float64 if double else torch.float32
+        if double:
+            nA.double(); nB.double()
+        nA.load_state_dict({k: torch.tensor(np.asarray(v), dtype=dt)
+                            for k, v in interop.export_torch_state_dict(
+                                tr.netG_A2C, state.sr.params).items()})
+        nB.load_state_dict({k: torch.tensor(np.asarray(v), dtype=dt)
+                            for k, v in interop.export_torch_state_dict(
+                                tr.netG_C2B, state.c.params).items()})
+        real_B = torch.from_numpy(tar.transpose(0, 3, 1, 2)).to(dt)
+        lum = torch.tensor([0.2125, 0.7154, 0.0721],
+                           dtype=dt).view(1, 3, 1, 1)
+        real_BC = (real_B * lum).sum(1, keepdim=True)
+        real_BA = F.interpolate(real_BC, scale_factor=1.0 / up,
+                                mode="bilinear")
+        nA.train(); nB.train()
+        return nA, nB, real_B, real_BC, real_BA
 
     def grab(net):
         return {k: p.grad.clone() for k, p in net.named_parameters()}
 
-    lossA.backward(retain_graph=True)
-    lossB.backward(retain_graph=True)
+    def to_ours(net, g):
+        return interop.import_torch_state_dict(net, g)[0]
+
+    # fp32 side: the trainer's real (full-L1) grads + plain losses
+    nA, nB, real_B, real_BC, real_BA = build(double=False)
+    outA, outB = nA(real_BA), nB(real_BC)
+    lossA = torch.mean(torch.abs(outA - real_BC))
+    lossB = torch.mean(torch.abs(outB - real_B))
+    lossA.backward(); lossB.backward()
     gA_full, gB_full = grab(nA), grab(nB)
-    nA.zero_grad(); nB.zero_grad()
+
+    # float64 side: the residual-masked tight comparison
+    nA, nB, real_B, real_BC, real_BA = build(double=True)
+    mA = torch.from_numpy(maskA.transpose(0, 3, 1, 2)).double()
+    mB = torch.from_numpy(maskB.transpose(0, 3, 1, 2)).double()
+    outA, outB = nA(real_BA), nB(real_BC)
     ((mA * (outA - real_BC).abs()).sum() / mA.sum()).backward()
     ((mB * (outB - real_B).abs()).sum() / mB.sum()).backward()
     gA_mask, gB_mask = grab(nA), grab(nB)
-
-    def to_ours(net, g):
-        return interop.import_torch_state_dict(net, g)[0]
 
     return ((to_ours(tr.netG_A2C, gA_full), to_ours(tr.netG_C2B, gB_full)),
             (to_ours(tr.netG_A2C, gA_mask), to_ours(tr.netG_C2B, gB_mask)),
@@ -181,6 +204,11 @@ def _max_err(ours, ref):
 def test_training_trajectories_match():
     ref_espcn = ref_module("model.espcn")
     ref_rd = ref_module("model.resdeconv")
+    # The drift bounds below were measured at THIS init; torch inits draw
+    # from the global RNG, so pin it or any earlier test that consumes torch
+    # randomness changes the trajectory (and the suite goes red only in
+    # full-suite order — exactly what happened in rounds 1-3).
+    torch.manual_seed(0)
     netA = ref_espcn.ESPCN(1, 1, 2)
     netB = ref_rd.ResDeconv(src_ch=1, tar_ch=3)
     sdA = {k: v.clone() for k, v in netA.state_dict().items()}
@@ -209,14 +237,20 @@ def test_training_trajectories_match():
             # matched-point checks: reference grads AT our params.
             g, _, m = tr.grads(state, realA, realB)
             maskA, maskB = residual_masks(tr, state, realB)
-            gA_m, gB_m = our_masked_grads(tr, state, realB, maskA, maskB)
-            (full_t, mask_t, lA, lB) = torch_grads_at(
-                tr, ref_espcn, ref_rd, state, tar, maskA, maskB)
-            # 1. tight: residual-masked grads — a math bug CANNOT pass this.
+            jax.config.update("jax_enable_x64", True)
+            try:
+                gA_m, gB_m = our_masked_grads_f64(tr, state, realB,
+                                                  maskA, maskB)
+                (full_t, mask_t, lA, lB) = torch_grads_at(
+                    tr, ref_espcn, ref_rd, state, tar, maskA, maskB)
+            finally:
+                jax.config.update("jax_enable_x64", False)
+            # 1. tight (float64): a math bug CANNOT pass this, and finite-
+            # precision amplification cannot fail it (see module docstring).
             for name, g_ours, g_ref in (("sr", gA_m, mask_t[0]),
                                         ("c", gB_m, mask_t[1])):
                 err = _max_err(g_ours, g_ref)
-                assert err <= 5e-4, ("masked", step, name, err)
+                assert err <= 3e-5, ("masked64", step, name, err)
             # 2. loose: the trainer's full-L1 grads under the sign-flip
             # envelope (see module docstring).
             for name, g_ours, g_ref in (("sr", g["sr"], full_t[0]),
