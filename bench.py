@@ -132,42 +132,57 @@ def bench_train() -> dict:
     from srcgan_tpu.train import CasTrainer
 
     config.set_conv_precision("default")
-    tr = CasTrainer(sr_model="RDDBNet", c_model="ResDeconv", up=2)
-    st0 = tr.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     b, s = 8, 256
     tar = jnp.asarray(rng.uniform(0, 1, (b, s, s, 3)).astype(np.float32))
     src = jnp.asarray((np.asarray(tar) @ np.array(
         [0.2125, 0.7154, 0.0721], np.float32))[..., None])
 
-    def timed_chain(K):
-        @jax.jit
-        def chain(st, a, t, seed):
-            def body(carry, i):
-                stc, _ = tr.train_step(carry, a + seed * 1e-6, t, 1e-4)
-                return stc, 0.0
-            st, _ = jax.lax.scan(body, st, jnp.arange(K))
-            return jnp.mean(st.sr.params["conv_first"]["w"])
+    def measure(act_dtype):
+        tr = CasTrainer(sr_model="RDDBNet", c_model="ResDeconv", up=2,
+                        act_dtype=act_dtype)
+        st0 = tr.init(jax.random.PRNGKey(0))
 
-        float(chain(st0, src, tar, jnp.float32(0)))
-        ts = []
-        for i in range(4):
-            t0 = time.perf_counter()
-            float(chain(st0, src, tar, jnp.float32(i + 1)))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+        def timed_chain(K):
+            @jax.jit
+            def chain(st, a, t, seed):
+                def body(carry, i):
+                    stc, _ = tr.train_step(carry, a + seed * 1e-6, t, 1e-4)
+                    return stc, 0.0
+                st, _ = jax.lax.scan(body, st, jnp.arange(K))
+                return jnp.mean(st.sr.params["conv_first"]["w"])
 
-    t1, t5 = timed_chain(1), timed_chain(5)
-    per = (t5 - t1) / 4
+            float(chain(st0, src, tar, jnp.float32(0)))
+            ts = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                float(chain(st0, src, tar, jnp.float32(i + 1)))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t1, t5 = timed_chain(1), timed_chain(5)
+        return (t5 - t1) / 4, tr, st0
+
+    # fp32 stored activations (bf16 MXU convs) — the historical metric
+    per, tr, st0 = measure(None)
+    # --bf16-acts: bf16 stored residuals, fp32 masters (numerics within seed
+    # variance: scripts/bf16_study.py "bf16acts" mode, docs/PERF.md)
+    per_bf16, tr16, st16 = measure(jnp.bfloat16)
     out = {"train_step_ms": round(per * 1000, 1),
            "train_samples_per_s": round(b / per, 1),
-           "train_target_mps": round(b * s * s / 1e6 / per, 2)}
+           "train_target_mps": round(b * s * s / 1e6 / per, 2),
+           "train_bf16_acts_step_ms": round(per_bf16 * 1000, 1),
+           "train_bf16_acts_samples_per_s": round(b / per_bf16, 1)}
     # return the FULL new state + metrics so XLA cannot dead-code any of the
     # step (returning a scalar DCEs the whole update: measured flops == 1)
     fl = _cost_flops(lambda st, a, t: tr.train_step(st, a, t, 1e-4),
                      st0, src, tar)
     if fl:
         out["train_mfu_pct"] = _mfu_pct(fl, per)
+    fl16 = _cost_flops(lambda st, a, t: tr16.train_step(st, a, t, 1e-4),
+                       st16, src, tar)
+    if fl16:
+        out["train_bf16_acts_mfu_pct"] = _mfu_pct(fl16, per_bf16)
     config.set_conv_precision("highest")
     return out
 

@@ -3,9 +3,13 @@
 Trains the cascade on a reproducible synthetic dataset for the reference's
 50-epoch schedule in both precisions and reports final held-out PSNR/SSIM.
 """
+import os
+import sys
 import time
 import numpy as np
 import jax, jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from srcgan_tpu import config, metrics
 from srcgan_tpu.train import CasTrainer
@@ -29,9 +33,11 @@ def synth_images(n, size, seed):
     return (imgs - lo) / (hi - lo + 1e-6)
 
 
-def run(sr_model, precision, epochs=50, n_train=64, n_val=16, size=64, bs=8, key=0):
+def run(sr_model, precision, epochs=50, n_train=64, n_val=16, size=64, bs=8,
+        key=0, act_dtype=None):
     config.set_conv_precision(precision)
-    tr = CasTrainer(sr_model=sr_model, c_model="ResDeconv", up=2)
+    tr = CasTrainer(sr_model=sr_model, c_model="ResDeconv", up=2,
+                    act_dtype=act_dtype)
     state = tr.init(jax.random.PRNGKey(key))
     train = synth_images(n_train, size, 1)
     val = synth_images(n_val, size, 2)
@@ -66,18 +72,24 @@ def main():
     import sys
     key = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     names = (sys.argv[2],) if len(sys.argv) > 2 else ("ESPCN", "RDDBNet")
+    # three precision modes: fp32-HIGHEST, bf16-MXU convs (fp32 storage),
+    # and bf16 stored activations with fp32 masters (--bf16-acts)
+    modes = (("fp32", "highest", None), ("bf16", "default", None),
+             ("bf16acts", "default", jnp.bfloat16))
     for sr_model in names:
         res = {}
-        for prec in ("highest", "default"):
+        for label, prec, act in modes:
             t0 = time.time()
-            p, s, psr, ssr = run(sr_model, prec, key=key)
-            res[prec] = (p, s, psr, ssr)
-            print(f"{sr_model:8s} {'fp32' if prec=='highest' else 'bf16'}: "
+            p, s, psr, ssr = run(sr_model, prec, key=key, act_dtype=act)
+            res[label] = (p, s, psr, ssr)
+            print(f"{sr_model:8s} {label:8s}: "
                   f"color PSNR {p:7.3f} SSIM {s:.5f} | SR PSNR {psr:7.3f} "
                   f"SSIM {ssr:.5f}  ({time.time()-t0:.0f}s)")
-        d = [res["default"][i] - res["highest"][i] for i in range(4)]
-        print(f"{sr_model:8s} delta: color {d[0]:+.3f} dB / {d[1]:+.5f} | "
-              f"SR {d[2]:+.3f} dB / {d[3]:+.5f}  (bars 0.1 dB / 0.002)")
+        for label in ("bf16", "bf16acts"):
+            d = [res[label][i] - res["fp32"][i] for i in range(4)]
+            print(f"{sr_model:8s} {label} delta: color {d[0]:+.3f} dB / "
+                  f"{d[1]:+.5f} | SR {d[2]:+.3f} dB / {d[3]:+.5f}  "
+                  f"(bars 0.1 dB / 0.002)")
 
 
 if __name__ == "__main__":
