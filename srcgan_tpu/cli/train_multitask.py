@@ -19,6 +19,8 @@ def build_parser():
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--netG", type=str, default="resnet_9blocks")
     p.add_argument("--norm", type=str, default="instance")
+    p.add_argument("--bf16-acts", action="store_true",
+                   help="bf16 generator activations with fp32 master params")
     p.add_argument("--save-every", type=int, default=5)
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--checkpoints", type=str, default="./checkpoints")
@@ -41,9 +43,13 @@ def main(argv=None):
     from srcgan_tpu.utils import Logger
 
     root = args.root or f"Sat2Aer{args.mode}"
-    trainer = MultiTaskTrainer(mode=args.mode, lr=args.lr, ngf=args.ngf,
-                               netG=args.netG, norm=args.norm,
-                               num_epochs=args.num_epochs)
+    if args.bf16_acts:
+        from srcgan_tpu import config
+        config.set_conv_precision("default")
+    trainer = MultiTaskTrainer(
+        mode=args.mode, lr=args.lr, ngf=args.ngf,
+        netG=args.netG, norm=args.norm, num_epochs=args.num_epochs,
+        act_dtype=jnp.bfloat16 if args.bf16_acts else None)
     state = trainer.init(jax.random.PRNGKey(args.seed))
 
     trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)

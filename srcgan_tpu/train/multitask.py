@@ -42,8 +42,11 @@ class MultiTaskTrainer:
                  lambda_b: float = 10.0, ngf: int = 64,
                  netG: str = "resnet_9blocks", norm: str = "instance",
                  gan_mode: str = "lsgan", lr_policy: str = "cosine",
-                 num_epochs: int = 25, remat: bool = True):
+                 num_epochs: int = 25, remat: bool = True, act_dtype=None):
         self.remat = remat
+        # act_dtype=jnp.bfloat16: bf16 compute/stored activations with fp32
+        # master params (same pattern as CycleGANTrainer/CasTrainer)
+        self.act_dtype = act_dtype
         self.mode = mode
         self.lr, self.d_lr = lr, d_lr
         self.lambda_identity = lambda_identity
@@ -90,8 +93,18 @@ class MultiTaskTrainer:
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def g_step(self, state: CycleState, realA, realB, lr):
+        if self.act_dtype is not None:
+            realA = realA.astype(self.act_dtype)
+            realB32 = realB
+            realB = realB.astype(self.act_dtype)
+        else:
+            realB32 = realB
+
         def loss_fn(gp):
             def mk(net, p):
+                if self.act_dtype is not None:
+                    p = jax.tree_util.tree_map(
+                        lambda a: a.astype(self.act_dtype), p)
                 f = lambda prm, v: net.fwd(prm, v, train=True)
                 return (lambda v: jax.checkpoint(f)(p, v)) if self.remat else (
                     lambda v: f(p, v))
@@ -105,18 +118,22 @@ class MultiTaskTrainer:
             fake_A = g_b(realB)
             recl_B = g_a(fake_A)
 
+            # Ds run fp32 regardless of the generators' activation dtype
+            # (same policy as CycleGANTrainer.g_step)
             pred_fake_B, _ = self.netD_A.apply(
-                state.d.params["D_A"], fake_B,
+                state.d.params["D_A"], fake_B.astype(jnp.float32),
                 state=state.d_model_state["D_A"], train=True)
             pred_fake_A, _ = self.netD_B.apply(
-                state.d.params["D_B"], fake_A,
+                state.d.params["D_B"], fake_A.astype(jnp.float32),
                 state=state.d_model_state["D_B"], train=True)
             loss_g_a = losses.gan_loss(pred_fake_B, True, self.gan_mode)
             loss_g_b = losses.gan_loss(pred_fake_A, True, self.gan_mode)
             loss_cycle_a = losses.l1(recl_A, real_C) * self.lambda_a * 0.5
             loss_cycle_b = losses.l1(recl_B, realB) * self.lambda_b * 0.5
             # reported-but-unused auxiliary SR loss (multi-task.py:331,:339-340)
-            loss_g_c = losses.mse(jnp.broadcast_to(real_C, realB.shape), realB)
+            loss_g_c = losses.mse(
+                jnp.broadcast_to(real_C, realB.shape).astype(jnp.float32),
+                realB32)
             loss_g = loss_g_a + loss_g_b + loss_cycle_a + loss_cycle_b
             aux = {"real_C": real_C, "fake_A": fake_A, "fake_B": fake_B,
                    "recl_A": recl_A, "recl_B": recl_B,
@@ -136,7 +153,12 @@ class MultiTaskTrainer:
     def d_step(self, state: CycleState, real_C, realB, fake_A_pooled,
                fake_B_pooled, lr):
         """D_A: realB vs pooled fake_B; D_B: real_C vs pooled fake_A
-        (multi-task.py:307)."""
+        (multi-task.py:307).  Ds always run fp32 (inputs may arrive bf16
+        from a g_step with act_dtype set)."""
+        real_C = real_C.astype(jnp.float32)
+        realB = realB.astype(jnp.float32)
+        fake_A_pooled = fake_A_pooled.astype(jnp.float32)
+        fake_B_pooled = fake_B_pooled.astype(jnp.float32)
 
         def loss_fn(dp, dstate):
             new_state = {}

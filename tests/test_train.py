@@ -226,6 +226,26 @@ class TestMultiTask:
         for k in ["loss_G", "loss_G_C", "loss_D_A", "loss_D_B"]:
             assert np.isfinite(float(aux[k])), k
 
+    def test_bf16_acts_iteration(self):
+        """act_dtype=bf16 multitask iteration: losses finite, master params
+        and Adam moments stay fp32, Ds receive fp32 inputs (loss path runs)."""
+        from srcgan_tpu.train import MultiTaskTrainer
+        tr = MultiTaskTrainer(mode="x2", ngf=8, netG="resnet_6blocks",
+                              act_dtype=jnp.bfloat16)
+        st = tr.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        realB = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        realA = jnp.asarray(
+            (np.asarray(realB) @ np.array([0.2125, 0.7154, 0.0721],
+                                          np.float32))[..., None][:, ::2, ::2])
+        st, aux = tr.optimize_parameters(st, realA, realB)
+        for k in ["loss_G", "loss_G_C", "loss_D_A", "loss_D_B"]:
+            assert np.isfinite(float(aux[k])), k
+        for leaf in jax.tree_util.tree_leaves((st.g.params, st.g.opt_state)):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.floating):
+                assert leaf.dtype == jnp.float32, leaf.dtype
+
     def test_g_c_trains_through_chain(self):
         """loss_G_C is excluded from loss_G, but G_C still updates via the
         fake_B path (optimizer chains its params)."""
