@@ -74,6 +74,30 @@ class TestCasDP:
         tree_allclose(st_single.sr.params, st_dp.sr.params, atol=2e-4)
         tree_allclose(st_single.c.params, st_dp.c.params, atol=2e-4)
 
+    def test_dp_composes_with_bf16_acts(self):
+        """DP wraps CasTrainer.grads, so act_dtype=bf16 (mixed precision)
+        flows through the sharded step unchanged: grads leave the bf16
+        forward/backward as fp32 (wrt the fp32 masters), the psum is fp32,
+        and the sharded losses track an unsharded bf16-acts step."""
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2,
+                        act_dtype=jnp.bfloat16)
+        st0 = tr.init(jax.random.PRNGKey(0))
+        realA, realB = make_batch(8)
+        st_copy = jax.tree_util.tree_map(jnp.array, st0)
+        _, m_single = tr.train_step(st_copy, realA, realB, 1e-4)
+
+        mesh = parallel.make_mesh()
+        step = parallel.make_cas_dp_step(tr, mesh)
+        st_rep = parallel.put_replicated(st0, mesh)
+        a, b = parallel.put_batch(realA, mesh), parallel.put_batch(realB, mesh)
+        st_dp, m_dp = step(st_rep, a, b, 1e-4)
+        # bf16 forwards: per-shard loss means vs the global mean agree to
+        # bf16 resolution, and the updated masters stay fp32
+        np.testing.assert_allclose(float(m_single["loss_SR"]),
+                                   float(m_dp["loss_SR"]), rtol=1e-2)
+        for leaf in jax.tree_util.tree_leaves(st_dp.sr.params):
+            assert leaf.dtype == jnp.float32
+
     def test_dp_two_steps_progress(self):
         tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
         mesh = parallel.make_mesh()
