@@ -298,16 +298,24 @@ def make_server(args) -> ThreadingHTTPServer:
 
 
 def main(argv=None):
+    import signal
+    import threading
+
     args = build_parser().parse_args(argv)
     srv = make_server(args)
     host, port = srv.server_address[:2]
     print(f"serving on http://{host}:{port}  "
           f"(POST /predict, GET /healthz, GET /stats)")
+    # SIGTERM (systemd/k8s stop) takes the same drain path as Ctrl-C.
+    # shutdown() must not run on the serve_forever thread (it joins it).
+    prev = signal.signal(signal.SIGTERM, lambda s, f: threading.Thread(
+        target=srv.shutdown, daemon=True).start())
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        signal.signal(signal.SIGTERM, prev)
         srv.batcher.close()
 
 
