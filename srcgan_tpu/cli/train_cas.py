@@ -67,6 +67,12 @@ def build_parser():
     p.add_argument("--resume", action="store_true",
                    help="resume from <checkpoints>/casstate_latest.npz "
                         "(full state: params + Adam moments + epoch)")
+    p.add_argument("--orbax-dir", type=str, default=None,
+                   help="use orbax for the full-state checkpoints instead of "
+                        "the npz file: async per-shard writes, gather-free "
+                        "sharded restore under a mesh, step retention "
+                        "(keep-last applies); name-encoded weight .npz files "
+                        "are still written for the eval protocol")
     p.add_argument("--keep-last", type=int, default=0,
                    help="retain only the newest K checkpoint epochs "
                         "(0 = keep all, reference behavior)")
@@ -149,7 +155,7 @@ def _run(args, preempted):
     state = trainer.init(jax.random.PRNGKey(args.seed))
     start_epoch = 1
     state_path = os.path.join(args.checkpoints, "casstate_latest.npz")
-    if args.resume and os.path.exists(state_path):
+    if args.resume and not args.orbax_dir and os.path.exists(state_path):
         state, extra = load_train_state(state_path, state)
         start_epoch = int(extra.get("epoch", 0)) + 1
         print(f"resumed from {state_path} at epoch {start_epoch}")
@@ -167,6 +173,30 @@ def _run(args, preempted):
     else:
         step = trainer.train_step
 
+    # orbax backend: restore AFTER mesh placement so shards land on-device
+    # according to the (possibly replicated/sharded) target's sharding
+    ock = None
+    if args.orbax_dir:
+        from srcgan_tpu.train.orbax_io import OrbaxCheckpointer
+        ock = OrbaxCheckpointer(args.orbax_dir,
+                                max_to_keep=args.keep_last or None)
+        if args.resume and ock.latest_step() is not None:
+            state, extra = ock.restore(state)
+            start_epoch = int(extra.get("epoch", 0)) + 1
+            print(f"resumed from orbax {args.orbax_dir} at epoch "
+                  f"{start_epoch}")
+
+    def _save_full_state(extra):
+        """Full-state checkpoint through whichever backend is configured.
+
+        orbax: async, monotonically-increasing step counter (the epoch lives
+        in `extra`, so preemption re-saves never collide with epoch saves).
+        """
+        if ock is not None:
+            ock.save((ock.latest_step() or 0) + 1, state, extra)
+        else:
+            save_train_state(state_path, jax.device_get(state), extra=extra)
+
     if args.data_dir:
         trainset = data.FileListDataset(args.root, "train", ver, args.data_dir)
     else:
@@ -183,9 +213,11 @@ def _run(args, preempted):
                            mode="max")
 
     def _preempt_save(epoch):
-        save_train_state(state_path, jax.device_get(state),
-                         extra={"epoch": epoch - 1})  # redo this epoch
-        print(f"\nSIGTERM: train state saved to {state_path} "
+        _save_full_state({"epoch": epoch - 1})  # redo this epoch
+        if ock is not None:
+            ock.wait_until_finished()  # durable before the process dies
+        dest = args.orbax_dir if ock is not None else state_path
+        print(f"\nSIGTERM: train state saved to {dest} "
               f"(resume with --resume); exiting")
 
     window = {"loss_SR": [], "loss_C": [], "psnr_SR": [], "psnr_C": []}
@@ -235,8 +267,7 @@ def _run(args, preempted):
                 args.CModel, "C2B", args.up, epoch, ver=lab_ver))
             save_params(netGA, jax.device_get(state.sr.params))
             save_params(netGB, jax.device_get(state.c.params))
-            save_train_state(state_path, jax.device_get(state),
-                             extra={"epoch": epoch})
+            _save_full_state({"epoch": epoch, "val_psnr": mean_psnr})
             removed = manager.register(epoch, [netGA, netGB], metric=mean_psnr)
             print(f"\nsaved {netGA} {netGB} (+ resume state; "
                   f"val PSNR {mean_psnr:.2f} dB)"
@@ -247,6 +278,8 @@ def _run(args, preempted):
                   f"{args.early_stop_patience} epochs (best "
                   f"{stopper.best:.2f} dB, best epoch {manager.best_epoch()})")
             break
+    if ock is not None:
+        ock.close()  # join pending async writes before returning
     return state
 
 

@@ -1,0 +1,74 @@
+"""Orbax checkpoint backend: round-trips, retention, sharded restore.
+
+The .npz path is the reference-parity format; orbax_io is the scale path
+(async per-shard writes).  These tests pin: (1) a full CasState round-trip
+with extra metadata, (2) max_to_keep retention, (3) restore INTO a sharded
+(replicated-under-mesh) target on the 8-device CPU backend — the property
+that makes multi-host restore gather-free.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srcgan_tpu import parallel
+from srcgan_tpu.train import CasTrainer
+from srcgan_tpu.train.orbax_io import (OrbaxCheckpointer,
+                                       load_train_state_orbax,
+                                       save_train_state_orbax)
+
+
+def tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_round_trip_with_extra(tmp_path):
+    tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+    st = tr.init(jax.random.PRNGKey(0))
+    # one step so moments are non-trivial
+    st, _ = tr.train_step(jax.tree_util.tree_map(jnp.array, st),
+                          jnp.zeros((1, 16, 16, 1)),
+                          jnp.ones((1, 16, 16, 3)) * 0.5, 1e-3)
+    d = str(tmp_path / "ck")
+    save_train_state_orbax(d, 7, st, {"epoch": 7, "val_psnr": 13.25})
+    got, extra = load_train_state_orbax(d, tr.init(jax.random.PRNGKey(1)))
+    tree_equal(st, got)
+    assert extra == {"epoch": 7, "val_psnr": 13.25}
+
+
+def test_retention_and_latest(tmp_path):
+    tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+    st = tr.init(jax.random.PRNGKey(0))
+    with OrbaxCheckpointer(str(tmp_path / "ck"), max_to_keep=2,
+                           async_save=True) as ck:
+        for step in (1, 2, 3):
+            ck.save(step, st, {"epoch": step})
+        ck.wait_until_finished()
+        assert ck.latest_step() == 3
+        _, extra = ck.restore(tr.init(jax.random.PRNGKey(1)))
+        assert extra["epoch"] == 3
+        with pytest.raises(Exception):
+            ck.restore(tr.init(jax.random.PRNGKey(1)), step=1)  # GC'd
+
+
+def test_sharded_restore_lands_sharded(tmp_path):
+    """Restore into a mesh-replicated target: arrays come back carrying the
+    target sharding (what makes multi-host restore gather/broadcast-free)."""
+    tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+    st = tr.init(jax.random.PRNGKey(0))
+    d = str(tmp_path / "ck")
+    save_train_state_orbax(d, 1, st)
+
+    mesh = parallel.make_mesh()
+    like = parallel.put_replicated(tr.init(jax.random.PRNGKey(1)), mesh)
+    got, _ = load_train_state_orbax(d, like)
+    tree_equal(st, got)
+    leaf = jax.tree_util.tree_leaves(got)[0]
+    like_leaf = jax.tree_util.tree_leaves(like)[0]
+    assert leaf.sharding.is_equivalent_to(like_leaf.sharding, leaf.ndim), (
+        leaf.sharding, like_leaf.sharding)
