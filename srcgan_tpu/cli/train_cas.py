@@ -64,6 +64,11 @@ def build_parser():
                    help="additionally store activations/saved residuals in "
                         "bf16 (fp32 master params + fp32 Adam; halves the "
                         "train step's HBM traffic)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="split each batch into K microbatches and accumulate "
+                        "gradients (peak activation memory of batch/K; same "
+                        "update as the full batch) — for effective batches "
+                        "that exceed one chip's HBM")
     p.add_argument("--resume", action="store_true",
                    help="resume from <checkpoints>/casstate_latest.npz "
                         "(full state: params + Adam moments + epoch)")
@@ -173,6 +178,10 @@ def _run(args, preempted):
     else:
         step = trainer.train_step
 
+    if args.grad_accum > 1 and mesh is not None:
+        raise SystemExit("--grad-accum composes with the single-device step "
+                         "only; under a mesh add data-parallel shards instead")
+
     # orbax backend: restore AFTER mesh placement so shards land on-device
     # according to the (possibly replicated/sharded) target's sharding
     ock = None
@@ -233,6 +242,10 @@ def _run(args, preempted):
                 realA = parallel.put_batch(realA, mesh)
                 realB = parallel.put_batch(realB, mesh)
                 state, metrics = step(state, realA, realB, lr)
+            elif args.grad_accum > 1:
+                realA, realB = preprocess.convert_pair(src_u8, tar_u8, ver)
+                state, metrics = trainer.train_step_accum(
+                    state, realA, realB, lr, args.grad_accum)
             else:
                 # uint8-input fused step: preprocessing inside the step's jit
                 state, metrics = trainer.train_step_u8(state, src_u8, tar_u8, lr)

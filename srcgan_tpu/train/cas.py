@@ -180,6 +180,48 @@ class CasTrainer:
         grads, mstates, metrics = self.grads(state, realA, realB)
         return self.apply_grads(state, grads, mstates, lr), metrics
 
+    @partial(jax.jit, static_argnums=(0, 5), donate_argnums=1)
+    def train_step_accum(self, state: CasState, realA, realB, lr,
+                         microbatches: int
+                         ) -> Tuple[CasState, Dict[str, jnp.ndarray]]:
+        """One optimization step with gradient accumulation.
+
+        Splits the batch into ``microbatches`` equal chunks, runs
+        forward/backward per chunk under lax.scan (so only ONE chunk's
+        activations are live at a time — peak memory of a batch/k step),
+        averages the gradients and metrics, and applies a single Adam
+        update.  Mathematically identical to train_step on the full batch
+        for the L1 losses (mean-of-means with equal chunks), so large
+        effective batches fit a 16 GB chip without remat's recompute cost.
+        Composes with act_dtype (grads leave each chunk fp32).
+        """
+        n = realA.shape[0]
+        if n % microbatches:
+            raise ValueError(f"batch {n} not divisible by {microbatches}")
+        m = n // microbatches
+        chunksA = realA.reshape(microbatches, m, *realA.shape[1:])
+        chunksB = realB.reshape(microbatches, m, *realB.shape[1:])
+
+        def body(carry, chunk):
+            g_acc, ms_any, met_acc = carry
+            a, b = chunk
+            g, mstates, met = self.grads(state, a, b)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            met_acc = jax.tree_util.tree_map(jnp.add, met_acc, met)
+            return (g_acc, mstates, met_acc), 0.0
+
+        zero_g = jax.tree_util.tree_map(
+            jnp.zeros_like, {"sr": state.sr.params, "c": state.c.params})
+        zero_m = {"loss_SR": jnp.zeros(()), "loss_C": jnp.zeros(()),
+                  "psnr_SR": jnp.zeros(()), "psnr_C": jnp.zeros(())}
+        init_ms = {"sr": state.sr_model_state, "c": state.c_model_state}
+        (g, mstates, met), _ = jax.lax.scan(
+            body, (zero_g, init_ms, zero_m), (chunksA, chunksB))
+        inv = 1.0 / microbatches
+        g = jax.tree_util.tree_map(lambda x: x * inv, g)
+        met = jax.tree_util.tree_map(lambda x: x * inv, met)
+        return self.apply_grads(state, g, mstates, lr), met
+
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step_u8(self, state: CasState, src_u8, tar_u8, lr):
         """uint8-input step: decode/normalize/colourspace happen INSIDE the

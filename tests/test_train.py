@@ -387,6 +387,43 @@ class TestBF16Training:
         # trajectories agree to bf16 precision (~0.4% mantissa) + drift
         np.testing.assert_allclose(bf16, fp32, rtol=0.05)
 
+    def test_grad_accum_matches_full_batch(self):
+        """train_step_accum(K) applies the same update as train_step on the
+        full batch (mean-of-means over equal chunks is exact for L1; only
+        fp32 reduction order differs), at batch/K peak activation memory."""
+        import jax.numpy as jnp
+        from srcgan_tpu.train import CasTrainer
+        rng = np.random.default_rng(3)
+        tar = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32))
+        src = jnp.zeros((4, 32, 32, 1), jnp.float32)
+
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st = tr.init(jax.random.PRNGKey(0))
+        full, m_full = tr.train_step(
+            jax.tree_util.tree_map(jnp.array, st), src, tar, 1e-3)
+        acc, m_acc = tr.train_step_accum(
+            jax.tree_util.tree_map(jnp.array, st), src, tar, 1e-3, 2)
+
+        np.testing.assert_allclose(float(m_full["loss_SR"]),
+                                   float(m_acc["loss_SR"]), rtol=1e-6)
+        np.testing.assert_allclose(float(m_full["loss_C"]),
+                                   float(m_acc["loss_C"]), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(full.sr.params),
+                        jax.tree_util.tree_leaves(acc.sr.params)):
+            # Adam's eps-normalization amplifies reduction-order noise on
+            # near-zero grads (same tolerance as the DP equality proof)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+    def test_grad_accum_rejects_ragged_batch(self):
+        import jax.numpy as jnp
+        from srcgan_tpu.train import CasTrainer
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st = tr.init(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="not divisible"):
+            tr.train_step_accum(st, jnp.zeros((3, 16, 16, 1)),
+                                jnp.zeros((3, 16, 16, 3)), 1e-3, 2)
+
     def test_act_dtype_bf16_masters_stay_fp32(self):
         """act_dtype=bf16 (mixed precision: bf16 compute, fp32 master params
         + fp32 Adam) descends, tracks the fp32 trajectory, and never
