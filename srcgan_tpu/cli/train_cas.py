@@ -64,6 +64,11 @@ def build_parser():
                    help="additionally store activations/saved residuals in "
                         "bf16 (fp32 master params + fp32 Adam; halves the "
                         "train step's HBM traffic)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="maintain an exponential moving average of the "
+                        "weights (e.g. 0.999) and save it under "
+                        "<checkpoints>/ema/ with the standard names — the "
+                        "ESRGAN-style eval/shipping copy")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="split each batch into K microbatches and accumulate "
                         "gradients (peak activation memory of batch/K; same "
@@ -181,6 +186,12 @@ def _run(args, preempted):
     if args.grad_accum > 1 and mesh is not None:
         raise SystemExit("--grad-accum composes with the single-device step "
                          "only; under a mesh add data-parallel shards instead")
+    ema = None
+    if args.ema_decay > 0:
+        if mesh is not None or args.grad_accum > 1:
+            raise SystemExit("--ema-decay currently composes with the plain "
+                             "single-device step only")
+        ema = trainer.ema_init(state)
 
     # orbax backend: restore AFTER mesh placement so shards land on-device
     # according to the (possibly replicated/sharded) target's sharding
@@ -246,6 +257,10 @@ def _run(args, preempted):
                 realA, realB = preprocess.convert_pair(src_u8, tar_u8, ver)
                 state, metrics = trainer.train_step_accum(
                     state, realA, realB, lr, args.grad_accum)
+            elif ema is not None:
+                realA, realB = preprocess.convert_pair(src_u8, tar_u8, ver)
+                state, ema, metrics = trainer.train_step_ema(
+                    state, ema, realA, realB, lr, args.ema_decay)
             else:
                 # uint8-input fused step: preprocessing inside the step's jit
                 state, metrics = trainer.train_step_u8(state, src_u8, tar_u8, lr)
@@ -280,6 +295,13 @@ def _run(args, preempted):
                 args.CModel, "C2B", args.up, epoch, ver=lab_ver))
             save_params(netGA, jax.device_get(state.sr.params))
             save_params(netGB, jax.device_get(state.c.params))
+            if ema is not None:
+                ema_dir = os.path.join(args.checkpoints, "ema")
+                os.makedirs(ema_dir, exist_ok=True)
+                save_params(os.path.join(ema_dir, os.path.basename(netGA)),
+                            jax.device_get(ema["sr"]))
+                save_params(os.path.join(ema_dir, os.path.basename(netGB)),
+                            jax.device_get(ema["c"]))
             _save_full_state({"epoch": epoch, "val_psnr": mean_psnr})
             removed = manager.register(epoch, [netGA, netGB], metric=mean_psnr)
             print(f"\nsaved {netGA} {netGB} (+ resume state; "

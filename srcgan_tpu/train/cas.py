@@ -180,6 +180,29 @@ class CasTrainer:
         grads, mstates, metrics = self.grads(state, realA, realB)
         return self.apply_grads(state, grads, mstates, lr), metrics
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def train_step_ema(self, state: CasState, ema, realA, realB, lr, decay
+                       ) -> Tuple[CasState, Any, Dict[str, jnp.ndarray]]:
+        """train_step fused with an exponential moving average of the
+        weights (ESRGAN-style eval weights: the EMA copy is what you ship;
+        it smooths the adversarial/last-batch jitter out of checkpoints).
+
+        ``ema`` is a {"sr": params, "c": params} tree (init with ema_init).
+        One program — the EMA update rides the step's dispatch instead of
+        paying a second host->device round-trip per iteration.
+        """
+        new_state, metrics = self.train_step.__wrapped__(
+            self, state, realA, realB, lr)
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, ema,
+            {"sr": new_state.sr.params, "c": new_state.c.params})
+        return new_state, new_ema, metrics
+
+    def ema_init(self, state: CasState):
+        """Fresh EMA tree seeded from the current weights."""
+        return jax.tree_util.tree_map(
+            jnp.array, {"sr": state.sr.params, "c": state.c.params})
+
     @partial(jax.jit, static_argnums=(0, 5), donate_argnums=1)
     def train_step_accum(self, state: CasState, realA, realB, lr,
                          microbatches: int

@@ -415,6 +415,35 @@ class TestBF16Training:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
 
+    def test_ema_step_tracks_weights(self):
+        """train_step_ema applies the identical update to train_step and the
+        EMA tree converges toward the live weights at the decay rate."""
+        import jax.numpy as jnp
+        from srcgan_tpu.train import CasTrainer
+        rng = np.random.default_rng(4)
+        tar = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        src = jnp.zeros((2, 32, 32, 1), jnp.float32)
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st = tr.init(jax.random.PRNGKey(0))
+        ema = tr.ema_init(st)
+        ref, _ = tr.train_step(jax.tree_util.tree_map(jnp.array, st),
+                               src, tar, 1e-3)
+        st2, ema, m = tr.train_step_ema(st, ema, src, tar, 1e-3, 0.9)
+        assert np.isfinite(float(m["loss_SR"]))
+        # same update as the plain step
+        for a, b in zip(jax.tree_util.tree_leaves(ref.sr.params),
+                        jax.tree_util.tree_leaves(st2.sr.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        e0 = np.asarray(jax.tree_util.tree_leaves(ema["sr"])[0])
+        n0 = np.asarray(jax.tree_util.tree_leaves(st2.sr.params)[0])
+        assert not np.array_equal(e0, n0)  # lags the live weights
+        # after many steps at decay 0, ema == live weights exactly
+        ema0 = tr.ema_init(st2)
+        st3, ema0, _ = tr.train_step_ema(st2, ema0, src, tar, 1e-3, 0.0)
+        for e, w in zip(jax.tree_util.tree_leaves(ema0["sr"]),
+                        jax.tree_util.tree_leaves(st3.sr.params)):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(w))
+
     def test_grad_accum_rejects_ragged_batch(self):
         import jax.numpy as jnp
         from srcgan_tpu.train import CasTrainer
