@@ -27,6 +27,9 @@ def build_parser():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MXU conv mode (default: fp32-highest)")
+    p.add_argument("--bf16-acts", action="store_true",
+                   help="profile the mixed-precision step (bf16 stored "
+                        "activations, fp32 masters — train_cas --bf16-acts)")
     p.add_argument("--trace-dir", type=str, default=None)
     p.add_argument("--cost-analysis", action="store_true",
                    help="print XLA's compiled cost model for the train step "
@@ -49,11 +52,12 @@ def main(argv=None):
     from srcgan_tpu.train import CasTrainer
     from srcgan_tpu.utils import StepTimer
 
-    if args.bf16:
+    if args.bf16 or args.bf16_acts:
         config.set_conv_precision("default")
 
     trainer = CasTrainer(sr_model=args.SRModel, c_model=args.CModel,
-                         up=args.up, const=args.const, lab=args.lab)
+                         up=args.up, const=args.const, lab=args.lab,
+                         act_dtype=jnp.bfloat16 if args.bf16_acts else None)
     state = trainer.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     tar = jnp.asarray(rng.uniform(
@@ -98,7 +102,7 @@ def main(argv=None):
         "samples_per_s": round(args.batch_size / summary["p50_s"], 2),
         "config": f"{args.SRModel}+{args.CModel} x{args.up} "
                   f"bs={args.batch_size} {args.size}^2 "
-                  f"{'bf16' if args.bf16 else 'fp32'}",
+                  f"{'bf16acts' if args.bf16_acts else 'bf16' if args.bf16 else 'fp32'}",
     })
     if cost is not None:
         summary["cost_analysis"] = cost
