@@ -33,6 +33,10 @@ def build_parser():
                    help="disable per-pass rematerialization: ~1.6x faster "
                         "iterations, but the six-pass backward must fit HBM "
                         "(it does below batch ~3 at 256^2 on a 16 GB chip)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="maintain an exponential moving average of the "
+                        "generator weights (e.g. 0.999) and save it under "
+                        "<checkpoints>/ema/ — the eval/shipping copy")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--perceptual", type=str, default=None,
                    help="VGG16 weights (.npz from convert_vgg or torchvision "
@@ -89,6 +93,7 @@ def _run(args, preempted):
                               perceptual_params=load_perceptual(args.perceptual),
                               perceptual_weight=args.perceptual_weight)
     state = trainer.init(jax.random.PRNGKey(args.seed))
+    ema = trainer.ema_init(state) if args.ema_decay > 0 else None
     start_epoch = 1
     state_path = os.path.join(args.checkpoints, "cyclestate_latest.npz")
     if args.resume and os.path.exists(state_path):
@@ -119,8 +124,13 @@ def _run(args, preempted):
                 realA = ops.interpolate(realB, scale_factor=0.5, mode="nearest")
             else:
                 realA = srcA
-            state, aux = trainer.optimize_parameters(state, realA, realB,
-                                                     g_lr, d_lr)
+            if ema is not None:
+                state, ema, aux = trainer.optimize_parameters(
+                    state, realA, realB, g_lr, d_lr, ema=ema,
+                    ema_decay=args.ema_decay)
+            else:
+                state, aux = trainer.optimize_parameters(state, realA, realB,
+                                                         g_lr, d_lr)
             if preempted["flag"]:
                 _preempt_save(epoch)
                 return state
@@ -154,6 +164,13 @@ def _run(args, preempted):
                                  f"netG_B2A_SRtask_{args.mode}_{epoch:04d}.npz")
             save_params(netGA, jax.device_get(state.g.params["G_A"]))
             save_params(netGB, jax.device_get(state.g.params["G_B"]))
+            if ema is not None:
+                ema_dir = os.path.join(args.checkpoints, "ema")
+                os.makedirs(ema_dir, exist_ok=True)
+                save_params(os.path.join(ema_dir, os.path.basename(netGA)),
+                            jax.device_get(ema["G_A"]))
+                save_params(os.path.join(ema_dir, os.path.basename(netGB)),
+                            jax.device_get(ema["G_B"]))
             save_train_state(state_path, jax.device_get(state),
                              extra={"epoch": epoch})
             print(f"\nsaved {netGA} {netGB} (+ resume state)")

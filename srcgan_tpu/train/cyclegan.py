@@ -306,19 +306,56 @@ class CycleGANTrainer:
         aux.update(d_metrics)
         return state, aux
 
+    # -- EMA of the generator weights (ESRGAN-style eval copy) ---------------
+
+    def ema_init(self, state: CycleState):
+        """Fresh EMA tree seeded from the current generator weights."""
+        return jax.tree_util.tree_map(jnp.array, state.g.params)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def gd_step_ema(self, state: CycleState, ema, realA, realB, g_lr, d_lr,
+                    decay):
+        """gd_step fused with the generator-EMA update (one program; the
+        axpy rides the step's dispatch — measured free on the Cas step)."""
+        state, aux = self._g_update(state, realA, realB, g_lr)
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, ema, state.g.params)
+        state, d_metrics = self._d_update(
+            state, realA, realB, jax.lax.stop_gradient(aux["fake_A"]),
+            jax.lax.stop_gradient(aux["fake_B"]), d_lr)
+        aux.update(d_metrics)
+        return state, new_ema, aux
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _ema_only(self, ema, g_params, decay):
+        return jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, ema, g_params)
+
     # -- full iteration (optimize_parameters, train.py:325-340) --------------
 
     def optimize_parameters(self, state: CycleState, realA, realB, g_lr=None,
-                            d_lr=None):
+                            d_lr=None, ema=None, ema_decay=0.999):
+        """One reference iteration; pass ``ema`` (from ema_init) to also get
+        the updated EMA tree back: returns (state, aux) or
+        (state, ema, aux).  With pool_size == 0 the EMA update is fused into
+        the single gd_step program; the stateful-pool path pays one extra
+        (tiny) dispatch after the G update."""
         g_lr = self.lr if g_lr is None else g_lr
         d_lr = self.d_lr if d_lr is None else d_lr
         if self.fake_A_pool.pool_size == 0:
-            return self.gd_step(state, realA, realB, g_lr, d_lr)
+            if ema is None:
+                return self.gd_step(state, realA, realB, g_lr, d_lr)
+            return self.gd_step_ema(state, ema, realA, realB, g_lr, d_lr,
+                                    ema_decay)
         state, aux = self.g_step(state, realA, realB, g_lr)
+        if ema is not None:
+            ema = self._ema_only(ema, state.g.params, ema_decay)
         fake_A = self.fake_A_pool.query(np.asarray(aux["fake_A"]))
         fake_B = self.fake_B_pool.query(np.asarray(aux["fake_B"]))
         state, d_metrics = self.d_step(state, realA, realB,
                                        jnp.asarray(fake_A), jnp.asarray(fake_B),
                                        d_lr)
         aux.update(d_metrics)
+        if ema is not None:
+            return state, ema, aux
         return state, aux

@@ -90,6 +90,30 @@ class TestCycleGAN:
         out2 = pool.query(imgs + 1)
         assert out2.shape == imgs.shape
 
+    def test_ema_both_pool_paths(self):
+        """EMA generator tracking works through both iteration paths (fused
+        gd_step when pool_size=0, g/d split + pool otherwise), applies the
+        same live-weight update, and lags the live generators."""
+        for pool in (0, 2):
+            tr = CycleGANTrainer(net="SRdens", mode="x2", pool_size=pool)
+            st = tr.init(jax.random.PRNGKey(0))
+            realA, realB = make_batch(n=1, size=32)
+            realA_lr = jnp.asarray(np.asarray(realA)[:, ::2, ::2, :])
+            ref = CycleGANTrainer(net="SRdens", mode="x2", pool_size=pool)
+            ref_st, _ = ref.optimize_parameters(
+                jax.tree_util.tree_map(jnp.array, st), realA_lr, realB)
+            ema = tr.ema_init(st)
+            st2, ema, aux = tr.optimize_parameters(
+                st, realA_lr, realB, ema=ema, ema_decay=0.9)
+            assert np.isfinite(float(aux["loss_G"])), pool
+            # live weights match the no-EMA iteration (same pool seed)
+            for a, b in zip(jax.tree_util.tree_leaves(ref_st.g.params),
+                            jax.tree_util.tree_leaves(st2.g.params)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            e0 = np.asarray(jax.tree_util.tree_leaves(ema)[0])
+            n0 = np.asarray(jax.tree_util.tree_leaves(st2.g.params)[0])
+            assert not np.array_equal(e0, n0), pool  # ema lags
+
     def test_fused_gd_step_matches_two_step_when_pool_passthrough(self):
         """pool_size=0 makes ImagePool.query the identity (train.py:37-38),
         so the fused single-program gd_step must produce the SAME updates as
