@@ -23,10 +23,24 @@ import optax
 
 
 def reference_lr(policy: str, base_lr: float, num_epochs: int, epoch: int) -> float:
-    """LR for ``epoch`` (1-based, after that epoch's update_lr call)."""
+    """LR for ``epoch`` (1-based, after that epoch's update_lr call).
+
+    'cosine'/'step'/'plateau'/'linear'/'none' replicate the reference's
+    observable semantics (module docstring).  Two extensions beyond the
+    reference, selected by name: 'true_cosine' (the conventional arc) and
+    'warmup_cosine' (linear warmup over the first max(1, 5%) of epochs,
+    then the cosine arc over the remainder — the standard large-batch
+    production schedule)."""
     if policy == "cosine":
         factor = (1.0 + math.cos(math.pi / num_epochs)) / 2.0
         return base_lr * factor ** epoch
+    if policy == "true_cosine":
+        return true_cosine(base_lr, num_epochs, epoch)
+    if policy == "warmup_cosine":
+        warm = max(1, round(0.05 * num_epochs))
+        if epoch <= warm:
+            return base_lr * epoch / warm
+        return true_cosine(base_lr, num_epochs - warm, epoch - warm)
     if policy in ("step", "plateau", "linear", "none"):
         return base_lr
     raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")

@@ -184,6 +184,22 @@ class TestOptim:
     def test_step_policy_constant(self):
         assert optim.reference_lr("step", 1e-4, 50, 30) == 1e-4
 
+    def test_warmup_cosine(self):
+        """Linear ramp over the first 5% of epochs, then the true-cosine
+        arc; peak exactly base_lr at the warmup boundary."""
+        base, n = 1e-4, 100  # warm = 5 epochs
+        ramp = [optim.reference_lr("warmup_cosine", base, n, e)
+                for e in (1, 2, 5)]
+        assert ramp == [base / 5, 2 * base / 5, base]
+        lr6 = optim.reference_lr("warmup_cosine", base, n, 6)
+        assert 0 < lr6 < base
+        lr_end = optim.reference_lr("warmup_cosine", base, n, n)
+        assert lr_end < 1e-8  # cosine floor
+        # monotone decay after warmup
+        post = [optim.reference_lr("warmup_cosine", base, n, e)
+                for e in range(5, n + 1)]
+        assert all(a >= b for a, b in zip(post, post[1:]))
+
 
 class TestStateIO:
     def test_checkpoint_name_roundtrip(self):
