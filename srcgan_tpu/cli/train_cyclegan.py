@@ -33,6 +33,10 @@ def build_parser():
                    help="disable per-pass rematerialization: ~1.6x faster "
                         "iterations, but the six-pass backward must fit HBM "
                         "(it does below batch ~3 at 256^2 on a 16 GB chip)")
+    p.add_argument("--eval-after-save", action="store_true",
+                   help="run the eval driver on each saved checkpoint pair "
+                        "(train.py:406-412 spawns test.py via os.system after "
+                        "every save; here in-process, same protocol)")
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="maintain an exponential moving average of the "
                         "generator weights (e.g. 0.999) and save it under "
@@ -174,6 +178,14 @@ def _run(args, preempted):
             save_train_state(state_path, jax.device_get(state),
                              extra={"epoch": epoch})
             print(f"\nsaved {netGA} {netGB} (+ resume state)")
+            if args.eval_after_save:
+                from srcgan_tpu.cli import test_cyclegan
+                ev = ["--netGA", netGA, "--netGB", netGB, "--net", args.net]
+                if args.root:
+                    ev += ["--root", args.root]
+                if args.data_dir:
+                    ev += ["--data-dir", args.data_dir]
+                test_cyclegan.main(ev)
     return state
 
 
