@@ -406,6 +406,33 @@ def torch_rddb_mps() -> float:
     return mps
 
 
+RETRY_ENV = "SRCGAN_BENCH_ATTEMPT"
+MAX_ATTEMPTS = 3
+# Transient axon-relay failure modes observed on this image (CLAUDE.md):
+# the run dies with "TPU backend error (FailedPrecondition)" or the client
+# wedges after a relay drop.  An in-process retry cannot recover a dead
+# backend client, so on a transient-looking failure the bench re-execs
+# itself (the persistent compilation cache makes the retry cheap) after a
+# cool-down for the relay to come back.
+_TRANSIENT_MARKERS = ("FailedPrecondition", "DEADLINE_EXCEEDED", "UNAVAILABLE",
+                      "backend error", "Unable to initialize backend",
+                      "Connection reset", "Socket closed")
+
+
+def _retry_or_raise(exc: BaseException) -> None:
+    attempt = int(os.environ.get(RETRY_ENV, "0"))
+    msg = f"{type(exc).__name__}: {exc}"
+    transient = any(m.lower() in msg.lower() for m in _TRANSIENT_MARKERS)
+    if not transient or attempt + 1 >= MAX_ATTEMPTS:
+        raise exc
+    print(f"bench: transient backend failure (attempt {attempt + 1}/"
+          f"{MAX_ATTEMPTS}), re-exec after cool-down: {msg}",
+          file=sys.stderr, flush=True)
+    time.sleep(90 * (attempt + 1))
+    env = dict(os.environ, **{RETRY_ENV: str(attempt + 1)})
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
 def main():
     from srcgan_tpu.config import enable_compilation_cache
     enable_compilation_cache()
@@ -436,4 +463,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — transient-relay gate re-raises
+        _retry_or_raise(e)

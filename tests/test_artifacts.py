@@ -18,6 +18,28 @@ def test_bench_imports_and_declares_protocol():
         assert callable(getattr(bench, fn)), fn
 
 
+def test_bench_transient_retry_gate():
+    """The relay-failure retry gate re-execs ONLY on transient backend
+    errors and never past MAX_ATTEMPTS (a real bug must surface, not loop)."""
+    import pytest
+
+    bench = importlib.import_module("bench")
+    with pytest.raises(ValueError):
+        bench._retry_or_raise(ValueError("shape mismatch"))  # not transient
+    import os
+    old = os.environ.get(bench.RETRY_ENV)
+    try:
+        os.environ[bench.RETRY_ENV] = str(bench.MAX_ATTEMPTS - 1)
+        with pytest.raises(RuntimeError):
+            bench._retry_or_raise(
+                RuntimeError("TPU backend error (FailedPrecondition)"))
+    finally:
+        if old is None:
+            os.environ.pop(bench.RETRY_ENV, None)
+        else:
+            os.environ[bench.RETRY_ENV] = old
+
+
 def test_graft_entry_contract():
     g = importlib.import_module("__graft_entry__")
     fn, args = g.entry()
