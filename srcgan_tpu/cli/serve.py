@@ -11,6 +11,10 @@ uint8->uint8 program, and this driver puts a production front on it:
 
   POST /predict   body = PNG (gray or RGB; RGB is luma-converted on device)
                   -> 200 with the SR RGB PNG
+  POST /predict_scene  (with --tile N) body = PNG of ANY size -> SR RGB PNG;
+                  the scene is cut into overlapping NxN windows, run through
+                  one compiled tile shape, and stitched seam-free
+                  (serving.TiledPredictor)
   GET  /healthz   -> JSON liveness + model config
   GET  /stats     -> JSON counters (requests, batches, mean batch size,
                      latency quantiles over a sliding window)
@@ -70,6 +74,14 @@ def build_parser():
                         "don't pay the ~20 s jit compile")
     p.add_argument("--max-request-mb", type=float, default=16.0,
                    help="reject request bodies larger than this with 413")
+    p.add_argument("--tile", type=int, default=0,
+                   help="enable POST /predict_scene: arbitrary-size scenes "
+                        "served through one compiled NxN tile shape "
+                        "(serving.TiledPredictor); 0 disables")
+    p.add_argument("--tile-overlap", type=int, default=32,
+                   help="tile halo cropped from each output tile; >= the "
+                        "cascade receptive-field radius makes stitching "
+                        "bit-exact vs a full-image program")
     return p
 
 
@@ -194,7 +206,11 @@ class Batcher:
                     r.event.set()
 
 
-def make_handler(batcher, config):
+def make_handler(batcher, config, tiled=None):
+    # scene requests are internally batched by TiledPredictor; a lock keeps
+    # concurrent HTTP threads from interleaving big tile streams on-device
+    tiled_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet; /stats has counters
             pass
@@ -221,8 +237,12 @@ def make_handler(batcher, config):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/predict":
+            if self.path not in ("/predict", "/predict_scene"):
                 self._json(404, {"error": "unknown path"})
+                return
+            if self.path == "/predict_scene" and tiled is None:
+                self._json(404, {"error": "scene serving disabled; start "
+                                 "the daemon with --tile"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
@@ -241,7 +261,11 @@ def make_handler(batcher, config):
                     raise ValueError("PNG must be 8-bit")
                 if img.ndim == 2:
                     img = img[..., None]
-                out = batcher.submit(img)
+                if self.path == "/predict_scene":
+                    with tiled_lock:
+                        out = tiled.predict_scene(img)
+                else:
+                    out = batcher.submit(img)
                 buf = io.BytesIO()
                 Image.fromarray(out).save(buf, format="PNG")
                 body = buf.getvalue()
@@ -285,14 +309,33 @@ def make_server(args) -> ThreadingHTTPServer:
                 t0 = time.perf_counter()
                 pred.predict(np.zeros((n, h, w, 1), np.uint8))
                 print(f"warmed {n}x{h}x{w} in {time.perf_counter()-t0:.1f}s")
+    tiled = None
+    if args.tile:
+        from srcgan_tpu.serving import TiledPredictor
+
+        # share the loaded weights; TiledPredictor owns its batch padding
+        tiled = TiledPredictor(
+            pred.sr_model, pred.sr_params, pred.c_model, pred.c_params,
+            up=pred.up, lab=pred.lab, bf16=pred.bf16,
+            sr_state=pred.sr_state, c_state=pred.c_state,
+            tile=args.tile, overlap=args.tile_overlap,
+            max_batch=args.max_batch)
+        if args.warmup:
+            t0 = time.perf_counter()
+            tiled.predict(np.zeros((args.max_batch, args.tile, args.tile, 1),
+                                   np.uint8))
+            print(f"warmed scene tile {args.max_batch}x{args.tile}x"
+                  f"{args.tile} in {time.perf_counter()-t0:.1f}s")
     batcher = Batcher(pred, max_batch=args.max_batch,
                       max_wait_s=args.max_wait_ms / 1e3)
     config = {"netGA": args.netGA, "netGB": args.netGB, "up": pred.up,
               "lab": pred.lab, "bf16": pred.bf16,
               "max_batch": args.max_batch,
-              "max_request_bytes": int(args.max_request_mb * 1024 * 1024)}
+              "max_request_bytes": int(args.max_request_mb * 1024 * 1024),
+              **({"tile": args.tile, "tile_overlap": args.tile_overlap}
+                 if args.tile else {})}
     srv = ThreadingHTTPServer((args.host, args.port),
-                              make_handler(batcher, config))
+                              make_handler(batcher, config, tiled=tiled))
     srv.batcher = batcher
     return srv
 

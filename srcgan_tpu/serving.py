@@ -149,6 +149,92 @@ class CascadePredictor:
             yield np.asarray(out[:n])
 
 
+class TiledPredictor(CascadePredictor):
+    """Whole-scene inference for images of ANY size through ONE compiled
+    tile shape.
+
+    The reference evaluates fixed pre-cut 256x256 patches only
+    (testCas.py:65-88); real satellite scenes are arbitrarily large.  This
+    predictor cuts the scene into overlapping ``tile`` x ``tile`` windows,
+    runs them through the fused cascade in ``max_batch`` chunks (jax async
+    dispatch keeps the device busy while the host crops/stitches), discards
+    each output tile's ``overlap`` halo and stitches the cores.
+
+    Exactness: the cascade's ops are all local (convs / deconvs / pixel
+    shuffle / per-pixel color math), so with ``overlap`` >= the network's
+    receptive-field radius the stitched scene is BIT-IDENTICAL to running
+    the full image in one program.  Edge windows are laid FLUSH with the
+    scene boundary (not input-padded): conv SAME zero-padding then applies
+    at the true border exactly as in the full-image program — explicit
+    zero-pixel padding would NOT match, because zero inputs become nonzero
+    activations after the first bias+ReLU while SAME padding re-zeros every
+    layer's border.  Smaller overlaps trade exactness near tile seams for
+    compute: overhead scales as (tile/(tile-2*overlap))^2.  Caveats:
+    models with global spatial reductions (RCAN's channel attention pools
+    over H,W) are never tileable-exact, and strided encoders (ResDeconv)
+    are only seam-consistent when ``tile - 2*overlap`` is a multiple of
+    their total stride.
+
+    Scale is inferred from the first output tile, so resolution-preserving
+    (Const) cascades stitch correctly too.  Scenes smaller than one tile in
+    either dimension run as a single full-image program.
+    """
+
+    def __init__(self, *args, tile: int = 256, overlap: int = 32,
+                 max_batch: int = 8, **kw):
+        super().__init__(*args, **kw)
+        if tile <= 2 * overlap:
+            raise ValueError(f"tile ({tile}) must exceed 2*overlap "
+                             f"({2 * overlap}) to leave a core")
+        self.tile, self.overlap, self.max_batch = tile, overlap, max_batch
+        self.pad = max_batch  # one compiled batch shape for ragged chunks
+
+    @staticmethod
+    def _axis_windows(n: int, t: int, ov: int):
+        """Per-axis window plan: (win_start, keep_off_in_win, keep_start,
+        keep_len) covering [0, n) with tile windows clamped inside it."""
+        core = t - 2 * ov
+        plan = []
+        for i in range(-(-n // core)):
+            c0, c1 = i * core, min((i + 1) * core, n)
+            w = min(max(c0 - ov, 0), n - t)
+            plan.append((w, c0 - w, c0, c1 - c0))
+        return plan
+
+    def predict_scene(self, scene_u8: np.ndarray) -> np.ndarray:
+        """(H, W) / (H, W, 1|3) uint8 -> (H*scale, W*scale, 3) uint8."""
+        if scene_u8.ndim == 2:
+            scene_u8 = scene_u8[..., None]
+        H, W, C = scene_u8.shape
+        t = self.tile
+        if H < t or W < t:            # sub-tile scene: one native program
+            return self.predict(scene_u8[None])[0]
+        rows = self._axis_windows(H, t, self.overlap)
+        cols = self._axis_windows(W, t, self.overlap)
+        tiles = np.stack([scene_u8[wy:wy + t, wx:wx + t]
+                          for wy, _, _, _ in rows for wx, _, _, _ in cols])
+
+        outs, pending = [], []
+        for k in range(0, len(tiles), self.max_batch):
+            pending.append(self._predict_async(tiles[k:k + self.max_batch]))
+            if len(pending) > 2:      # bounded in-flight window
+                out, n = pending.pop(0)
+                outs.append(np.asarray(out[:n]))
+        for out, n in pending:
+            outs.append(np.asarray(out[:n]))
+        out_tiles = np.concatenate(outs, axis=0)
+
+        s = out_tiles.shape[1] // t   # inferred output scale
+        canvas = np.empty((H * s, W * s, 3), dtype=np.uint8)
+        for idx in range(len(rows) * len(cols)):
+            i, j = divmod(idx, len(cols))
+            _, ky, cy, ly = rows[i]
+            _, kx, cx, lx = cols[j]
+            canvas[cy * s:(cy + ly) * s, cx * s:(cx + lx) * s] = \
+                out_tiles[idx, ky * s:(ky + ly) * s, kx * s:(kx + lx) * s]
+        return canvas
+
+
 class SpatialShardedPredictor(CascadePredictor):
     """Cascade sharded over image height for tiles beyond one chip's HBM.
 

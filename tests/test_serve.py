@@ -203,3 +203,58 @@ def test_warmup_precompiles(tmp_path):
     finally:
         srv.shutdown()
         srv.batcher.close()
+
+
+def test_predict_scene_without_tile_flag_is_404(server):
+    port = server.server_address[1]
+    img = np.random.default_rng(7).integers(0, 256, (48, 64), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/predict_scene", body=buf.getvalue())
+    r = conn.getresponse()
+    assert r.status == 404
+    r.read()
+    conn.close()
+
+
+def test_predict_scene_tiled(tmp_path):
+    """--tile N enables /predict_scene: any-size PNG in, stitched SR out."""
+    sr = models.ESPCN(1, 1, 2)
+    c = models.ResDeconv(1, 3)
+    ga = os.path.join(str(tmp_path), checkpoint_name("ESPCN", "A2C", 2, 3))
+    gb = os.path.join(str(tmp_path), checkpoint_name("ResDeconv", "C2B", 2, 3))
+    save_params(ga, sr.init(jax.random.PRNGKey(0)))
+    save_params(gb, c.init(jax.random.PRNGKey(1)))
+    # tile 32 keeps the ResDeconv stage sizes aligned (its encoder is
+    # stride-32 overall); core 16 per axis
+    args = serve.build_parser().parse_args(
+        ["--netGA", ga, "--netGB", gb, "--port", "0", "--max-batch", "4",
+         "--tile", "32", "--tile-overlap", "8"])
+    srv = serve.make_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        scene = np.random.default_rng(8).integers(
+            0, 256, (48, 64), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(scene).save(buf, format="PNG")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/predict_scene", body=buf.getvalue())
+        r = conn.getresponse()
+        body = r.read()
+        conn.close()
+        assert r.status == 200, body
+        out = np.asarray(Image.open(io.BytesIO(body)))
+        assert out.shape == (96, 128, 3)
+        # healthz advertises the tile config
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        import json as _json
+        h = _json.loads(conn.getresponse().read())
+        assert h["tile"] == 32 and h["tile_overlap"] == 8
+        conn.close()
+    finally:
+        srv.shutdown()
+        srv.batcher.close()

@@ -183,3 +183,71 @@ class TestPredictStream:
         assert len(streamed) == len(direct)
         for s, d in zip(streamed, direct):
             np.testing.assert_array_equal(s, d)
+
+
+class TestTiledPredictor:
+    """Whole-scene tiled inference (serving.TiledPredictor)."""
+
+    @staticmethod
+    def _local_cascade():
+        """ESPCN x2 SR + SRCNN colorizer: both purely local, small receptive
+        field, so overlap >= RF radius makes tiling bit-exact."""
+        from srcgan_tpu import models
+        sr = models.create("ESPCN", 1, 1, 2)
+        c = models.create("SRCNN", 1, 3, 1)
+        return (sr, sr.init(jax.random.PRNGKey(0)),
+                c, c.init(jax.random.PRNGKey(1)))
+
+    def test_scene_bit_exact_vs_full_forward(self):
+        """Odd-size scene, overlap >= RF: stitched == one full-image program,
+        bit-for-bit (zero scene-border padding == conv SAME semantics)."""
+        sr, pA, c, pB = self._local_cascade()
+        full = serving.CascadePredictor(sr, pA, c, pB, up=2)
+        # ESPCN LR RF radius 5 + (conv5 + SRCNN) HR radius 7 -> LR RF 9;
+        # overlap 10 > 9 makes tiling bit-exact.
+        tiled = serving.TiledPredictor(sr, pA, c, pB, up=2,
+                                       tile=28, overlap=10, max_batch=4)
+        scene = np.random.default_rng(0).integers(
+            0, 256, (37, 45), dtype=np.uint8)
+        want = full.predict(scene[None, ..., None])[0]
+        got = tiled.predict_scene(scene)
+        assert got.shape == (74, 90, 3)
+        np.testing.assert_array_equal(got, want)
+
+    def test_rgb_scene_and_channel_input(self):
+        sr, pA, c, pB = self._local_cascade()
+        tiled = serving.TiledPredictor(sr, pA, c, pB, up=2,
+                                       tile=24, overlap=8, max_batch=4)
+        scene = np.random.default_rng(1).integers(
+            0, 256, (30, 26, 3), dtype=np.uint8)
+        out = tiled.predict_scene(scene)
+        assert out.shape == (60, 52, 3) and out.dtype == np.uint8
+
+    def test_resolution_preserving_scale_inferred(self):
+        """Const-style cascade (scale 1): stitcher infers scale from the
+        output tile rather than trusting `up`."""
+        from srcgan_tpu import models
+        sr = models.create("SRCNN", 1, 1, 2)   # resolution-preserving
+        c = models.create("SRCNN", 1, 3, 1)
+        tiled = serving.TiledPredictor(
+            sr, sr.init(jax.random.PRNGKey(2)),
+            c, c.init(jax.random.PRNGKey(3)), up=2,
+            tile=24, overlap=8, max_batch=4)
+        scene = np.random.default_rng(2).integers(
+            0, 256, (30, 53), dtype=np.uint8)
+        out = tiled.predict_scene(scene)
+        assert out.shape == (30, 53, 3)
+
+    def test_subtile_scene_falls_back_to_full_program(self):
+        sr, pA, c, pB = self._local_cascade()
+        tiled = serving.TiledPredictor(sr, pA, c, pB, up=2,
+                                       tile=28, overlap=10, max_batch=4)
+        scene = np.random.default_rng(3).integers(
+            0, 256, (20, 40), dtype=np.uint8)  # H < tile
+        out = tiled.predict_scene(scene)
+        assert out.shape == (40, 80, 3)
+
+    def test_tile_overlap_validation(self):
+        sr, pA, c, pB = self._local_cascade()
+        with pytest.raises(ValueError):
+            serving.TiledPredictor(sr, pA, c, pB, up=2, tile=16, overlap=8)
