@@ -13,6 +13,16 @@ os.environ["XLA_FLAGS"] = (
 # Keep XLA from oversubscribing the (single) test CPU.
 os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 
+# Hermetic compilation cache: some tests exercise CLI entry points that call
+# config.enable_compilation_cache(); without this override they would share
+# the production cache at ~/.cache/srcgan_tpu/jax — and a suite run killed
+# mid-write can poison it (observed: a truncated entry SEGFAULTS jax's cache
+# deserializer on the next read).  A per-run temp dir keeps test artifacts
+# out of the real cache and makes every run start clean.
+import tempfile  # noqa: E402
+
+os.environ["SRCGAN_JAX_CACHE"] = tempfile.mkdtemp(prefix="srcgan_test_jax_")
+
 # The axon TPU plugin in this image re-forces JAX_PLATFORMS=axon via site hooks,
 # so pin the platform through jax.config too (this wins).
 import jax  # noqa: E402
@@ -20,3 +30,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap in-process executable accumulation.
+
+    Thousands of compiled programs alive in one process push the XLA CPU
+    client toward a late-run segfault (see addopts note in pyproject.toml);
+    dropping the pjit caches between modules keeps the resident compile
+    state bounded.  Costs nothing across modules — they compile disjoint
+    programs anyway.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
