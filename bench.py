@@ -414,9 +414,11 @@ MAX_ATTEMPTS = 3
 # backend client, so on a transient-looking failure the bench re-execs
 # itself (the persistent compilation cache makes the retry cheap) after a
 # cool-down for the relay to come back.
+# NOTE: "Unable to initialize backend" is deliberately NOT here — that is
+# the deterministic PYTHONPATH-misconfiguration symptom (CLAUDE.md), and
+# retrying it would just delay the real error by minutes.
 _TRANSIENT_MARKERS = ("FailedPrecondition", "DEADLINE_EXCEEDED", "UNAVAILABLE",
-                      "backend error", "Unable to initialize backend",
-                      "Connection reset", "Socket closed")
+                      "backend error", "Connection reset", "Socket closed")
 
 
 def _retry_or_raise(exc: BaseException) -> None:

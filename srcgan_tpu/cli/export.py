@@ -42,9 +42,10 @@ def main(argv=None):
     pred = CascadePredictor.from_checkpoints(args.netGA, args.netGB,
                                              bf16=args.bf16)
     h, w = (int(v) for v in args.size.lower().split("x"))
+    platforms = tuple(p.strip().lower()
+                      for p in args.platforms.split(",") if p.strip())
     blob = export_cascade(pred, h=h, w=w, c=args.channels,
-                          batch=args.batch or None,
-                          platforms=tuple(args.platforms.split(",")))
+                          batch=args.batch or None, platforms=platforms)
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"wrote {args.out}: {len(blob) / 1e6:.2f} MB, input "

@@ -31,6 +31,8 @@ none needed.
 Shutdown drains: ``Batcher.close()`` stops admitting new requests (late
 submits get a 503) but runs every already-queued group to completion before
 the worker exits, so no accepted request is ever dropped on SIGINT/shutdown.
+Scene requests get the same contract through ``SceneGate``: new scenes are
+503'd once shutdown begins and ``close()`` waits out the in-flight ones.
 Oversized bodies are rejected with 413 before the body is read
 (``--max-request-mb``).
 
@@ -87,6 +89,55 @@ def build_parser():
 
 class ShuttingDown(RuntimeError):
     """Raised by Batcher.submit once close() has begun (HTTP 503)."""
+
+
+class SceneGate:
+    """Drain accounting for /predict_scene requests (which bypass the
+    Batcher: TiledPredictor does its own device batching).  Gives scene
+    traffic the same contract as /predict: new requests are 503'd once
+    shutdown begins, and close() waits for every in-flight scene to finish
+    so the process never exits mid-response."""
+
+    def __init__(self):
+        self._lock = threading.Condition()
+        self._inflight = 0
+        self._stop = False
+        self.stats = {"scene_requests": 0, "scene_errors": 0}
+        self._lat = deque(maxlen=512)
+
+    def __enter__(self):
+        with self._lock:
+            if self._stop:
+                raise ShuttingDown("server is shutting down")
+            self._inflight += 1
+            self.stats["scene_requests"] += 1
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, et, ev, tb):
+        with self._lock:
+            self._inflight -= 1
+            if et is None:
+                self._lat.append(time.perf_counter() - self._t0)
+            else:
+                self.stats["scene_errors"] += 1
+            self._lock.notify_all()
+        return False
+
+    def latency_quantiles(self):
+        if not self._lat:
+            return {}
+        xs = np.sort(np.asarray(self._lat))
+        q = lambda p: float(xs[min(len(xs) - 1, int(p * len(xs)))])
+        return {"scene_p50_s": round(q(0.5), 4),
+                "scene_p99_s": round(q(0.99), 4)}
+
+    def close(self, timeout: float = 600.0):
+        with self._lock:
+            self._stop = True
+            deadline = time.monotonic() + timeout
+            while self._inflight and time.monotonic() < deadline:
+                self._lock.wait(timeout=deadline - time.monotonic())
 
 
 class _Request:
@@ -206,7 +257,7 @@ class Batcher:
                     r.event.set()
 
 
-def make_handler(batcher, config, tiled=None):
+def make_handler(batcher, config, tiled=None, scene_gate=None):
     # scene requests are internally batched by TiledPredictor; a lock keeps
     # concurrent HTTP threads from interleaving big tile streams on-device
     tiled_lock = threading.Lock()
@@ -232,6 +283,9 @@ def make_handler(batcher, config, tiled=None):
                     s["mean_batch"] = round(
                         s["batched_samples"] / s["batches"], 2)
                 s.update(batcher.latency_quantiles())
+                if scene_gate is not None:
+                    s.update(scene_gate.stats)
+                    s.update(scene_gate.latency_quantiles())
                 self._json(200, s)
             else:
                 self._json(404, {"error": "unknown path"})
@@ -262,7 +316,7 @@ def make_handler(batcher, config, tiled=None):
                 if img.ndim == 2:
                     img = img[..., None]
                 if self.path == "/predict_scene":
-                    with tiled_lock:
+                    with scene_gate, tiled_lock:
                         out = tiled.predict_scene(img)
                 else:
                     out = batcher.submit(img)
@@ -321,11 +375,13 @@ def make_server(args) -> ThreadingHTTPServer:
             tile=args.tile, overlap=args.tile_overlap,
             max_batch=args.max_batch)
         if args.warmup:
-            t0 = time.perf_counter()
-            tiled.predict(np.zeros((args.max_batch, args.tile, args.tile, 1),
-                                   np.uint8))
-            print(f"warmed scene tile {args.max_batch}x{args.tile}x"
-                  f"{args.tile} in {time.perf_counter()-t0:.1f}s")
+            # both channel counts: an RGB scene compiles a separate program
+            for ch in (1, 3):
+                t0 = time.perf_counter()
+                tiled.predict(np.zeros(
+                    (args.max_batch, args.tile, args.tile, ch), np.uint8))
+                print(f"warmed scene tile {args.max_batch}x{args.tile}x"
+                      f"{args.tile}x{ch} in {time.perf_counter()-t0:.1f}s")
     batcher = Batcher(pred, max_batch=args.max_batch,
                       max_wait_s=args.max_wait_ms / 1e3)
     config = {"netGA": args.netGA, "netGB": args.netGB, "up": pred.up,
@@ -334,9 +390,12 @@ def make_server(args) -> ThreadingHTTPServer:
               "max_request_bytes": int(args.max_request_mb * 1024 * 1024),
               **({"tile": args.tile, "tile_overlap": args.tile_overlap}
                  if args.tile else {})}
-    srv = ThreadingHTTPServer((args.host, args.port),
-                              make_handler(batcher, config, tiled=tiled))
+    scene_gate = SceneGate() if tiled is not None else None
+    srv = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(batcher, config, tiled=tiled, scene_gate=scene_gate))
     srv.batcher = batcher
+    srv.scene_gate = scene_gate
     return srv
 
 
@@ -360,6 +419,8 @@ def main(argv=None):
     finally:
         signal.signal(signal.SIGTERM, prev)
         srv.batcher.close()
+        if srv.scene_gate is not None:
+            srv.scene_gate.close()  # wait out in-flight tiled scenes too
 
 
 if __name__ == "__main__":

@@ -46,6 +46,14 @@ def export_cascade(pred, h: int, w: int, c: int = 1, batch: int | None = None,
 
     from srcgan_tpu.models import rddb
 
+    if getattr(pred, "int8", False):
+        # the int8 path runs through quant.quant_mode's scoped conv
+        # dispatch, which this exporter does not trace — exporting would
+        # silently bake the NON-quantized program into the artifact
+        raise NotImplementedError(
+            "export_cascade does not support int8 predictors; export the "
+            "bf16/fp32 predictor instead")
+
     def f(gray_u8):
         return pred._run.__wrapped__(pred, pred.sr_params, pred.c_params,
                                      gray_u8)

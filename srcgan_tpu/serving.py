@@ -106,12 +106,15 @@ class CascadePredictor:
             lambda b: self._run(self.sr_params, self.c_params, jnp.asarray(b)),
             gray_u8_batches)
 
-    def _predict_async(self, gray_u8: np.ndarray):
+    def _predict_async(self, gray_u8: np.ndarray, pad: int | None = None):
         """Dispatch one batch; returns (device_array, valid_n) without
-        blocking on execution (jax async dispatch)."""
+        blocking on execution (jax async dispatch).  ``pad`` overrides the
+        predictor's batch-padding bucket (0 disables) for callers that
+        dispatch a shape the bucket would only waste work on."""
         n = gray_u8.shape[0]
-        if self.pad and n % self.pad:
-            reps = self.pad - n % self.pad
+        pad = self.pad if pad is None else pad
+        if pad and n % pad:
+            reps = pad - n % pad
             gray_u8 = np.concatenate(
                 [gray_u8, np.repeat(gray_u8[-1:], reps, axis=0)], axis=0)
         if self.int8:
@@ -207,8 +210,12 @@ class TiledPredictor(CascadePredictor):
             scene_u8 = scene_u8[..., None]
         H, W, C = scene_u8.shape
         t = self.tile
-        if H < t or W < t:            # sub-tile scene: one native program
-            return self.predict(scene_u8[None])[0]
+        if H < t or W < t:
+            # sub-tile scene: one native-shape program, batch of 1 — do NOT
+            # pad to max_batch (that would run max_batch copies of the
+            # whole scene for nothing)
+            out, n = self._predict_async(scene_u8[None], pad=0)
+            return np.asarray(out[:n])[0]
         rows = self._axis_windows(H, t, self.overlap)
         cols = self._axis_windows(W, t, self.overlap)
         tiles = np.stack([scene_u8[wy:wy + t, wx:wx + t]

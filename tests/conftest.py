@@ -19,9 +19,15 @@ os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 # mid-write can poison it (observed: a truncated entry SEGFAULTS jax's cache
 # deserializer on the next read).  A per-run temp dir keeps test artifacts
 # out of the real cache and makes every run start clean.
+import atexit  # noqa: E402
+import shutil  # noqa: E402
 import tempfile  # noqa: E402
 
-os.environ["SRCGAN_JAX_CACHE"] = tempfile.mkdtemp(prefix="srcgan_test_jax_")
+_jax_cache_dir = tempfile.mkdtemp(prefix="srcgan_test_jax_")
+os.environ["SRCGAN_JAX_CACHE"] = _jax_cache_dir
+# each process (xdist controller + workers) removes its own dir — without
+# this every suite run leaks tens of MB of compiled programs into /tmp
+atexit.register(shutil.rmtree, _jax_cache_dir, ignore_errors=True)
 
 # The axon TPU plugin in this image re-forces JAX_PLATFORMS=axon via site hooks,
 # so pin the platform through jax.config too (this wins).

@@ -69,3 +69,13 @@ def test_cli_export(tmp_path):
     x = np.random.default_rng(1).integers(
         0, 256, (2, 16, 16, 1), dtype=np.uint8)
     assert np.asarray(run(x)).shape == (2, 32, 32, 3)
+
+
+def test_export_rejects_int8_predictor(pred):
+    """int8 runs through quant_mode's scoped dispatch, which export does
+    not trace — exporting must fail loudly, not bake the fp32 program."""
+    p8 = serving.CascadePredictor(pred.sr_model, pred.sr_params,
+                                  pred.c_model, pred.c_params, up=2,
+                                  int8=True)
+    with pytest.raises(NotImplementedError):
+        export_cascade(p8, h=16, w=16, batch=1, platforms=("cpu",))

@@ -255,6 +255,39 @@ def test_predict_scene_tiled(tmp_path):
         h = _json.loads(conn.getresponse().read())
         assert h["tile"] == 32 and h["tile_overlap"] == 8
         conn.close()
+        # scene traffic is visible to /stats (its own counters + quantiles)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/stats")
+        s = _json.loads(conn.getresponse().read())
+        assert s["scene_requests"] == 1 and "scene_p50_s" in s
+        conn.close()
     finally:
         srv.shutdown()
         srv.batcher.close()
+
+
+def test_scene_gate_drains_and_503s():
+    """SceneGate: requests after close() begins raise ShuttingDown; close()
+    waits for in-flight scenes to finish."""
+    import time as _t
+
+    gate = serve.SceneGate()
+    done = threading.Event()
+
+    def scene():
+        with gate:
+            _t.sleep(0.5)
+            done.set()
+
+    t = threading.Thread(target=scene)
+    t.start()
+    _t.sleep(0.1)  # let it enter
+    closer = threading.Thread(target=gate.close)
+    closer.start()
+    _t.sleep(0.1)
+    with pytest.raises(serve.ShuttingDown):
+        gate.__enter__()   # new request during drain
+    closer.join(timeout=5)
+    assert done.is_set(), "close() must wait for the in-flight scene"
+    assert gate.stats["scene_requests"] == 1
+    t.join()

@@ -251,3 +251,21 @@ class TestTiledPredictor:
         sr, pA, c, pB = self._local_cascade()
         with pytest.raises(ValueError):
             serving.TiledPredictor(sr, pA, c, pB, up=2, tile=16, overlap=8)
+
+    def test_subtile_fallback_does_not_pad_to_max_batch(self):
+        """The sub-tile fallback dispatches a batch of 1, not max_batch
+        copies of the whole scene (regression: self.pad was applied)."""
+        sr, pA, c, pB = self._local_cascade()
+        tiled = serving.TiledPredictor(sr, pA, c, pB, up=2,
+                                       tile=28, overlap=10, max_batch=8)
+        seen = []
+        orig = tiled._run
+
+        def spy(sp, cp, g):
+            seen.append(g.shape[0])
+            return orig(sp, cp, g)
+
+        tiled._run = spy
+        out = tiled.predict_scene(np.zeros((20, 24), np.uint8))
+        assert out.shape == (40, 48, 3)
+        assert seen == [1], seen
