@@ -7,9 +7,11 @@ without bf16 stored activations.  Run on TPU from the repo root:
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _bench_util import slope  # noqa: E402
 
 import numpy as np
 import jax
@@ -18,20 +20,6 @@ import jax.numpy as jnp
 from srcgan_tpu import config
 from srcgan_tpu.config import enable_compilation_cache
 from srcgan_tpu.train import CasTrainer
-
-
-def slope(make_chain, k1=1, k2=5, tries=3):
-    def run(K):
-        c = make_chain(K)
-        c()  # compile + warm
-        ts = []
-        for _ in range(tries):
-            t0 = time.perf_counter()
-            c()
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-    t1, tk = run(k1), run(k2)
-    return (tk - t1) / (k2 - k1)
 
 
 def main():
@@ -57,7 +45,8 @@ def main():
                     return stc, 0.0
                 st, _ = jax.lax.scan(body, st, jnp.arange(K))
                 return jnp.mean(st.sr.params["conv_first"]["w"])
-            return lambda: float(chain(st0, src, tar, jnp.float32(K)))
+            return lambda seed: float(chain(st0, src, tar,
+                                           jnp.float32(seed)))
 
         t = slope(make)
         print(f"{name}: {t*1e3:6.1f} ms/step "

@@ -8,9 +8,11 @@ Run on TPU from the repo root: python scripts/train_step_decomp.py
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _bench_util import slope  # noqa: E402
 
 import numpy as np
 import jax
@@ -21,20 +23,6 @@ from srcgan_tpu import config, losses
 from srcgan_tpu.config import enable_compilation_cache
 from srcgan_tpu.data import preprocess
 from srcgan_tpu.train import CasTrainer, optim
-
-
-def slope(make_chain, k1=1, k2=5, tries=3):
-    def run(K):
-        c = make_chain(K)
-        c()  # compile + warm
-        ts = []
-        for _ in range(tries):
-            t0 = time.perf_counter()
-            c()
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-    t1, tk = run(k1), run(k2)
-    return (tk - t1) / (k2 - k1)
 
 
 def main():
@@ -58,7 +46,8 @@ def main():
                 return stc, 0.0
             st, _ = jax.lax.scan(body, st, jnp.arange(K))
             return jnp.mean(st.sr.params["conv_first"]["w"])
-        return lambda: float(chain(st0, src, tar, jnp.float32(K)))
+        return lambda seed: float(chain(st0, src, tar,
+                                        jnp.float32(seed)))
 
     def stage(which):  # 'sr' | 'c' single-net update only
         net = tr.netG_A2C if which == "sr" else tr.netG_C2B
@@ -82,7 +71,8 @@ def main():
                         opt_state=o), 0.0
                 ts, _ = jax.lax.scan(body, ts, jnp.arange(K))
                 return jnp.mean(jax.tree_util.tree_leaves(ts.params)[0])
-            return lambda: float(chain(ts0, x_in, tgt, jnp.float32(K)))
+            return lambda seed: float(chain(ts0, x_in, tgt,
+                                            jnp.float32(seed)))
         return make
 
     def fwd_only(which):
@@ -98,7 +88,8 @@ def main():
                     return c + (0.0 * jnp.mean(y)).astype(c.dtype), jnp.mean(y)
                 _, ys = jax.lax.scan(body, x + seed, None, length=K)
                 return jnp.sum(ys)
-            return lambda: float(chain(p0, x_in, jnp.float32(K)))
+            return lambda seed: float(chain(p0, x_in,
+                                            jnp.float32(seed * 1e-6)))
         return make
 
     print("platform:", jax.devices()[0].platform)

@@ -300,7 +300,10 @@ def make_handler(batcher, config, tiled=None, scene_gate=None):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
-                if n > config["max_request_bytes"]:
+                # negative length would turn rfile.read(n) into
+                # read-to-EOF — unbounded buffering, the exact hazard the
+                # size limit exists to prevent
+                if n < 0 or n > config["max_request_bytes"]:
                     # reject before reading the body; the unread body makes
                     # the connection unreusable, so close it
                     self.close_connection = True

@@ -205,6 +205,12 @@ def _run(args, preempted):
             start_epoch = int(extra.get("epoch", 0)) + 1
             print(f"resumed from orbax {args.orbax_dir} at epoch "
                   f"{start_epoch}")
+            if ema is not None:
+                # re-seed from the RESTORED params (matching the npz-resume
+                # path, where restore precedes ema_init) — ema was built
+                # from the fresh random init above, and decay 0.999 would
+                # keep that garbage in the eval weights for ~1000 steps
+                ema = trainer.ema_init(state)
 
     def _save_full_state(extra):
         """Full-state checkpoint through whichever backend is configured.

@@ -104,6 +104,11 @@ def _run(args, preempted):
         state, extra = load_train_state(state_path, state)
         start_epoch = int(extra.get("epoch", 0)) + 1
         print(f"resumed from {state_path} at epoch {start_epoch}")
+        if ema is not None:
+            # re-seed from the RESTORED generators — ema above was built
+            # from the fresh random init, and high decay would keep that
+            # garbage in the eval weights for ~1/(1-decay) steps
+            ema = trainer.ema_init(state)
 
     def _preempt_save(epoch):
         os.makedirs(args.checkpoints, exist_ok=True)

@@ -34,13 +34,18 @@ def reference_lr(policy: str, base_lr: float, num_epochs: int, epoch: int) -> fl
     if policy == "cosine":
         factor = (1.0 + math.cos(math.pi / num_epochs)) / 2.0
         return base_lr * factor ** epoch
+    # The arc is indexed epoch-1: the trainers call this at the START of
+    # each 1-based epoch and hold the LR for the whole epoch, so epoch 1
+    # must train at base_lr and epoch N at the last NONZERO cosine point —
+    # indexing by `epoch` would spend the entire final epoch at exactly
+    # lr=0 (a whole epoch of compute doing nothing).
     if policy == "true_cosine":
-        return true_cosine(base_lr, num_epochs, epoch)
+        return true_cosine(base_lr, num_epochs, epoch - 1)
     if policy == "warmup_cosine":
         warm = max(1, round(0.05 * num_epochs))
         if epoch <= warm:
             return base_lr * epoch / warm
-        return true_cosine(base_lr, num_epochs - warm, epoch - warm)
+        return true_cosine(base_lr, num_epochs - warm, epoch - warm - 1)
     if policy in ("step", "plateau", "linear", "none"):
         return base_lr
     raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")

@@ -163,7 +163,12 @@ def test_close_drains_queued_requests():
     threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
     for t in threads:
         t.start()
-    time.sleep(0.02)  # let the worker start on the first group
+    # wait until all three submits have actually been ADMITTED — a fixed
+    # sleep races on a loaded host and close() would 503 the laggard
+    deadline = time.monotonic() + 10
+    while b.stats["requests"] < 3 and time.monotonic() < deadline:
+        time.sleep(0.005)
+    assert b.stats["requests"] == 3
     b.close()  # must block until all three queued groups have run
     for t in threads:
         t.join(timeout=10)
@@ -291,3 +296,16 @@ def test_scene_gate_drains_and_503s():
     assert done.is_set(), "close() must wait for the in-flight scene"
     assert gate.stats["scene_requests"] == 1
     t.join()
+
+
+def test_negative_content_length_rejected(server):
+    """Content-Length: -1 must 413, not turn read(n) into read-to-EOF."""
+    import socket
+
+    port = server.server_address[1]
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    s.sendall(b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+              b"Content-Length: -1\r\n\r\n")
+    data = s.recv(4096)
+    assert b" 413 " in data.split(b"\r\n")[0] + b" ", data[:80]
+    s.close()

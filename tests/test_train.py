@@ -191,10 +191,14 @@ class TestOptim:
         ramp = [optim.reference_lr("warmup_cosine", base, n, e)
                 for e in (1, 2, 5)]
         assert ramp == [base / 5, 2 * base / 5, base]
-        lr6 = optim.reference_lr("warmup_cosine", base, n, 6)
-        assert 0 < lr6 < base
+        # first post-warmup epoch trains at the peak (arc index 0); the LR
+        # is held for a whole epoch, so the arc is indexed epoch-1
+        assert optim.reference_lr("warmup_cosine", base, n, 6) == base
+        assert 0 < optim.reference_lr("warmup_cosine", base, n, 7) < base
+        # final epoch: near the cosine floor but NONZERO — indexing by
+        # `epoch` would waste the whole last epoch at lr=0 (regression)
         lr_end = optim.reference_lr("warmup_cosine", base, n, n)
-        assert lr_end < 1e-8  # cosine floor
+        assert 0 < lr_end < 1e-3 * base
         # monotone decay after warmup
         post = [optim.reference_lr("warmup_cosine", base, n, e)
                 for e in range(5, n + 1)]
