@@ -74,6 +74,13 @@ def build_parser():
                         "gradients (peak activation memory of batch/K; same "
                         "update as the full batch) — for effective batches "
                         "that exceed one chip's HBM")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="run K optimization steps per device dispatch "
+                        "(lax.scan inside one jit program): K uint8 batches "
+                        "are stacked into one H2D block and the host pays "
+                        "one dispatch + one sync per K steps — amortizes "
+                        "per-call dispatch overhead when the host loop, not "
+                        "the device, paces training")
     p.add_argument("--resume", action="store_true",
                    help="resume from <checkpoints>/casstate_latest.npz "
                         "(full state: params + Adam moments + epoch)")
@@ -113,6 +120,28 @@ def load_perceptual(spec):
     if spec == "random":
         return losses_vgg.init_vgg_params(_jax.random.PRNGKey(0))
     return losses_vgg.load_vgg_params(spec)
+
+
+def _stacked_blocks(it, k):
+    """Group up to ``k`` consecutive same-shape (src, tar) uint8 batches from
+    a ``data.batches`` iterator and stack them with a leading steps axis —
+    the input blocks for ``CasTrainer.train_steps_u8``.  A ragged epoch tail
+    (or a batch-size change) flushes early, producing a shorter block."""
+    buf = []
+
+    def flush():
+        return (np.stack([s for s, _ in buf]), np.stack([t for _, t in buf]))
+
+    for src, tar, _ in it:
+        if buf and src.shape != buf[-1][0].shape:
+            yield flush()
+            buf = []
+        buf.append((src, tar))
+        if len(buf) == k:
+            yield flush()
+            buf = []
+    if buf:
+        yield flush()
 
 
 def main(argv=None):
@@ -192,6 +221,10 @@ def _run(args, preempted):
             raise SystemExit("--ema-decay currently composes with the plain "
                              "single-device step only")
         ema = trainer.ema_init(state)
+    if args.steps_per_dispatch > 1 and (
+            mesh is not None or args.grad_accum > 1 or ema is not None):
+        raise SystemExit("--steps-per-dispatch composes with the plain "
+                         "single-device step only")
 
     # orbax backend: restore AFTER mesh placement so shards land on-device
     # according to the (possibly replicated/sharded) target's sharding
@@ -246,13 +279,85 @@ def _run(args, preempted):
         print(f"\nSIGTERM: train state saved to {dest} "
               f"(resume with --resume); exiting")
 
+    def _save_epoch_checkpoints(epoch, mean_psnr):
+        # reads the loop-current `state`/`ema` bindings (closure over _run)
+        os.makedirs(args.checkpoints, exist_ok=True)
+        lab_ver = "G2LAB" if args.lab else None
+        netGA = os.path.join(args.checkpoints, checkpoint_name(
+            args.SRModel, "A2C", args.up, epoch, ver=lab_ver))
+        netGB = os.path.join(args.checkpoints, checkpoint_name(
+            args.CModel, "C2B", args.up, epoch, ver=lab_ver))
+        save_params(netGA, jax.device_get(state.sr.params))
+        save_params(netGB, jax.device_get(state.c.params))
+        if ema is not None:
+            ema_dir = os.path.join(args.checkpoints, "ema")
+            os.makedirs(ema_dir, exist_ok=True)
+            save_params(os.path.join(ema_dir, os.path.basename(netGA)),
+                        jax.device_get(ema["sr"]))
+            save_params(os.path.join(ema_dir, os.path.basename(netGB)),
+                        jax.device_get(ema["c"]))
+        _save_full_state({"epoch": epoch, "val_psnr": mean_psnr})
+        removed = manager.register(epoch, [netGA, netGB], metric=mean_psnr)
+        print(f"\nsaved {netGA} {netGB} (+ resume state; "
+              f"val PSNR {mean_psnr:.2f} dB)"
+              + (f"; retention removed {len(removed)} files" if removed
+                 else ""))
+
+    def _print_early_stop(epoch):
+        print(f"early stop at epoch {epoch}: validation PSNR stalled for "
+              f"{args.early_stop_patience} epochs (best "
+              f"{stopper.best:.2f} dB, best epoch {manager.best_epoch()})")
+
     window = {"loss_SR": [], "loss_C": [], "psnr_SR": [], "psnr_C": []}
     for epoch in range(start_epoch, args.num_epochs + 1):
         epoch_psnr = []
         lr = trainer.lr_at_epoch(epoch)
-        batch_iter = preprocess.device_put_iter(
-            data.batches(trainset, args.batch_size, shuffle=True,
-                         seed=args.seed, epoch=epoch, workers=args.workers))
+        raw_iter = data.batches(trainset, args.batch_size, shuffle=True,
+                                seed=args.seed, epoch=epoch,
+                                workers=args.workers)
+        if args.steps_per_dispatch > 1:
+            # K steps per dispatch: stacked uint8 blocks scanned on device
+            # (train_steps_u8) — one dispatch + one metrics sync per K steps.
+            it = 0
+            for src_blk, tar_blk in preprocess.device_put_iter(
+                    _stacked_blocks(raw_iter, args.steps_per_dispatch)):
+                state, mrows = trainer.train_steps_u8(
+                    state, src_blk, tar_blk, lr)
+                if preempted["flag"]:
+                    _preempt_save(epoch)
+                    return state
+                mrows = {k: np.asarray(v) for k, v in mrows.items()}
+                for j in range(int(src_blk.shape[0])):
+                    it += 1
+                    loss_now = (float(mrows["loss_SR"][j])
+                                + float(mrows["loss_C"][j]))
+                    if not np.isfinite(loss_now):
+                        raise RuntimeError(
+                            f"non-finite loss at epoch {epoch} it {it}; "
+                            f"restart with --resume to restore from "
+                            f"{state_path}")
+                    for k in window:
+                        window[k].append(float(mrows[k][j]))
+                    epoch_psnr.append(float(mrows["psnr_C"][j]))
+                    if it % args.log_every == 0:
+                        realA, realB = preprocess.convert_pair(
+                            src_blk[j], tar_blk[j], ver)
+                        logger.log(nepoch=epoch, niter=it,
+                                   losses={k: float(np.mean(v))
+                                           for k, v in window.items()},
+                                   images=trainer.snapshot(state, realA,
+                                                           realB),
+                                   ver=ver)
+                        window = {k: [] for k in window}
+            mean_psnr = float(np.mean(epoch_psnr)) if epoch_psnr else float("nan")
+            stop = stopper.update(mean_psnr)
+            if epoch % args.save_every == 0 or stop:
+                _save_epoch_checkpoints(epoch, mean_psnr)
+            if stop:
+                _print_early_stop(epoch)
+                break
+            continue
+        batch_iter = preprocess.device_put_iter(raw_iter)
         for it, (src_u8, tar_u8, _) in enumerate(batch_iter, start=1):
             if mesh is not None:
                 realA, realB = preprocess.convert_pair(src_u8, tar_u8, ver)
@@ -293,31 +398,9 @@ def _run(args, preempted):
         mean_psnr = float(np.mean(epoch_psnr)) if epoch_psnr else float("nan")
         stop = stopper.update(mean_psnr)
         if epoch % args.save_every == 0 or stop:
-            os.makedirs(args.checkpoints, exist_ok=True)
-            lab_ver = "G2LAB" if args.lab else None
-            netGA = os.path.join(args.checkpoints, checkpoint_name(
-                args.SRModel, "A2C", args.up, epoch, ver=lab_ver))
-            netGB = os.path.join(args.checkpoints, checkpoint_name(
-                args.CModel, "C2B", args.up, epoch, ver=lab_ver))
-            save_params(netGA, jax.device_get(state.sr.params))
-            save_params(netGB, jax.device_get(state.c.params))
-            if ema is not None:
-                ema_dir = os.path.join(args.checkpoints, "ema")
-                os.makedirs(ema_dir, exist_ok=True)
-                save_params(os.path.join(ema_dir, os.path.basename(netGA)),
-                            jax.device_get(ema["sr"]))
-                save_params(os.path.join(ema_dir, os.path.basename(netGB)),
-                            jax.device_get(ema["c"]))
-            _save_full_state({"epoch": epoch, "val_psnr": mean_psnr})
-            removed = manager.register(epoch, [netGA, netGB], metric=mean_psnr)
-            print(f"\nsaved {netGA} {netGB} (+ resume state; "
-                  f"val PSNR {mean_psnr:.2f} dB)"
-                  + (f"; retention removed {len(removed)} files" if removed
-                     else ""))
+            _save_epoch_checkpoints(epoch, mean_psnr)
         if stop:
-            print(f"early stop at epoch {epoch}: validation PSNR stalled for "
-                  f"{args.early_stop_patience} epochs (best "
-                  f"{stopper.best:.2f} dB, best epoch {manager.best_epoch()})")
+            _print_early_stop(epoch)
             break
     if ock is not None:
         ock.close()  # join pending async writes before returning

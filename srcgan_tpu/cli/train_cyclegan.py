@@ -47,6 +47,11 @@ def build_parser():
                         ".pth) adding a perceptual term on the cycle "
                         "reconstructions; 'random' = untrained VGG (testing)")
     p.add_argument("--perceptual-weight", type=float, default=1.0)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="run K fused G+D iterations per device dispatch "
+                        "(lax.scan inside one jit program; requires "
+                        "--pool-size 0, where the fused iteration is exact) "
+                        "— one dispatch + one host sync per K iterations")
     p.add_argument("--resume", action="store_true",
                    help="resume from <checkpoints>/cyclestate_latest.npz "
                         "(full G+D state: params + Adam moments + epoch; the "
@@ -117,12 +122,90 @@ def _run(args, preempted):
         print(f"\nSIGTERM: train state saved to {state_path} "
               f"(resume with --resume); exiting")
 
+    def _save_epoch(epoch):
+        # reads the loop-current `state`/`ema` bindings (closure over _run)
+        os.makedirs(args.checkpoints, exist_ok=True)
+        netGA = os.path.join(args.checkpoints,
+                             f"netG_A2B_SRtask_{args.mode}_{epoch:04d}.npz")
+        netGB = os.path.join(args.checkpoints,
+                             f"netG_B2A_SRtask_{args.mode}_{epoch:04d}.npz")
+        save_params(netGA, jax.device_get(state.g.params["G_A"]))
+        save_params(netGB, jax.device_get(state.g.params["G_B"]))
+        if ema is not None:
+            ema_dir = os.path.join(args.checkpoints, "ema")
+            os.makedirs(ema_dir, exist_ok=True)
+            save_params(os.path.join(ema_dir, os.path.basename(netGA)),
+                        jax.device_get(ema["G_A"]))
+            save_params(os.path.join(ema_dir, os.path.basename(netGB)),
+                        jax.device_get(ema["G_B"]))
+        save_train_state(state_path, jax.device_get(state),
+                         extra={"epoch": epoch})
+        print(f"\nsaved {netGA} {netGB} (+ resume state)")
+        if args.eval_after_save:
+            from srcgan_tpu.cli import test_cyclegan
+            ev = ["--netGA", netGA, "--netGB", netGB, "--net", args.net]
+            if args.root:
+                ev += ["--root", args.root]
+            if args.data_dir:
+                ev += ["--data-dir", args.data_dir]
+            test_cyclegan.main(ev)
+
+    if args.steps_per_dispatch > 1 and (
+            args.pool_size != 0 or args.ema_decay > 0):
+        raise SystemExit("--steps-per-dispatch requires --pool-size 0 (the "
+                         "pass-through pool makes the fused K-step program "
+                         "exact) and composes without --ema-decay")
+
     trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)
     print(f"Starting Training Loop... ({len(trainset)} samples, net={args.net})")
     logger = Logger(len(trainset), args.num_epochs)
 
     for epoch in range(start_epoch, args.num_epochs + 1):
         g_lr, d_lr = trainer.lr_at_epoch(epoch)
+        if args.steps_per_dispatch > 1:
+            # K fused G+D iterations per dispatch: stacked uint8 blocks
+            # scanned on device (gd_steps_u8); scalar losses come back per
+            # step, images from the block's last step (used for any log
+            # rows inside the block — the freshest sample available).
+            from srcgan_tpu.cli.train_cas import _stacked_blocks
+            it = -1  # the per-step loop below enumerates from 0
+            for src_blk, tar_blk in preprocess.device_put_iter(
+                    _stacked_blocks(
+                        data.batches(trainset, args.batch_size, shuffle=True,
+                                     seed=args.seed, epoch=epoch),
+                        args.steps_per_dispatch)):
+                state, imgs, rows = trainer.gd_steps_u8(
+                    state, src_blk, tar_blk, g_lr, d_lr)
+                if preempted["flag"]:
+                    _preempt_save(epoch)
+                    return state
+                rows = {k: np.asarray(v) for k, v in rows.items()}
+                for j in range(int(src_blk.shape[0])):
+                    it += 1
+                    if not np.isfinite(float(rows["loss_G"][j])):
+                        raise RuntimeError(
+                            f"non-finite generator loss at epoch {epoch} it "
+                            f"{it}; restart with --resume to restore from "
+                            f"{state_path}")
+                    if it % args.log_every == 0:
+                        logger.log(
+                            nepoch=epoch, niter=it,
+                            losses={
+                                "loss_G": float(rows["loss_G"][j]),
+                                "loss_G_identity":
+                                    float(rows["loss_iden_A"][j])
+                                    + float(rows["loss_iden_B"][j]),
+                                "loss_G_GAN": float(rows["loss_G_A"][j])
+                                + float(rows["loss_G_B"][j]),
+                                "loss_G_cycle": float(rows["loss_cycle_A"][j])
+                                + float(rows["loss_cycle_B"][j]),
+                                "loss_D": float(rows["loss_D_A"][j])
+                                + float(rows["loss_D_B"][j]),
+                            },
+                            images=imgs)
+            if epoch % args.save_every == 0:
+                _save_epoch(epoch)
+            continue
         for it, (src_u8, tar_u8, _) in enumerate(
                 data.batches(trainset, args.batch_size, shuffle=True,
                              seed=args.seed, epoch=epoch)):
@@ -166,31 +249,7 @@ def _run(args, preempted):
                             ("fake_A", "fake_B", "recl_A", "recl_B",
                              "iden_A", "iden_B", "B2Gry", "A2RGB")})
         if epoch % args.save_every == 0:
-            os.makedirs(args.checkpoints, exist_ok=True)
-            netGA = os.path.join(args.checkpoints,
-                                 f"netG_A2B_SRtask_{args.mode}_{epoch:04d}.npz")
-            netGB = os.path.join(args.checkpoints,
-                                 f"netG_B2A_SRtask_{args.mode}_{epoch:04d}.npz")
-            save_params(netGA, jax.device_get(state.g.params["G_A"]))
-            save_params(netGB, jax.device_get(state.g.params["G_B"]))
-            if ema is not None:
-                ema_dir = os.path.join(args.checkpoints, "ema")
-                os.makedirs(ema_dir, exist_ok=True)
-                save_params(os.path.join(ema_dir, os.path.basename(netGA)),
-                            jax.device_get(ema["G_A"]))
-                save_params(os.path.join(ema_dir, os.path.basename(netGB)),
-                            jax.device_get(ema["G_B"]))
-            save_train_state(state_path, jax.device_get(state),
-                             extra={"epoch": epoch})
-            print(f"\nsaved {netGA} {netGB} (+ resume state)")
-            if args.eval_after_save:
-                from srcgan_tpu.cli import test_cyclegan
-                ev = ["--netGA", netGA, "--netGB", netGB, "--net", args.net]
-                if args.root:
-                    ev += ["--root", args.root]
-                if args.data_dir:
-                    ev += ["--data-dir", args.data_dir]
-                test_cyclegan.main(ev)
+            _save_epoch(epoch)
     return state
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import random as _random
 from functools import partial
-from typing import Any, List, NamedTuple, Tuple
+from typing import Any, Dict, List, NamedTuple, Tuple
 
 import numpy as np
 import jax
@@ -305,6 +305,64 @@ class CycleGANTrainer:
             jax.lax.stop_gradient(aux["fake_B"]), d_lr)
         aux.update(d_metrics)
         return state, aux
+
+    # Logged image set produced per iteration (train.py:228-260 tensors).
+    _IMAGE_KEYS = ("fake_A", "fake_B", "recl_A", "recl_B",
+                   "iden_A", "iden_B", "B2Gry", "A2RGB")
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def gd_steps_u8(self, state: CycleState, src_u8_k, tar_u8_k, g_lr, d_lr
+                    ) -> Tuple[CycleState, Dict[str, jnp.ndarray],
+                               Dict[str, jnp.ndarray]]:
+        """K fused G+D iterations in ONE compiled program (lax.scan) — the
+        --steps-per-dispatch mechanism for the adversarial trainer.
+
+        Valid only for pool-pass-through semantics (pool_size == 0, where
+        each gd_step is exactly one reference iteration).  Inputs are K
+        stacked uint8 (src, tar) batches; decode/normalize (and the net='1'
+        0.5x nearest realA synthesis, train.py:380-382) run inside the scan
+        body.  Returns (state, last_images, scalars):
+          scalars — every scalar loss, stacked per step, shape (K,);
+          last_images — the final step's logged image set only, carried
+          through the scan instead of stacked ((K,N,H,W,C) stacks of
+          intermediate fakes would be dead HBM weight; the host needs one
+          recent sample for the Visdom-style windows).
+        """
+        def convert(s, t):
+            srcA, realB = preprocess.convert_pair(s, t, "G2RGB")
+            if self.net == "1":
+                realA = ops.interpolate(realB, scale_factor=0.5,
+                                        mode="nearest")
+            else:
+                realA = srcA
+            return realA, realB
+
+        def one_iter(st, a, b):
+            st, aux = self._g_update(st, a, b, g_lr)
+            st, d_metrics = self._d_update(
+                st, a, b, jax.lax.stop_gradient(aux["fake_A"]),
+                jax.lax.stop_gradient(aux["fake_B"]), d_lr)
+            aux.update(d_metrics)
+            return st, aux
+
+        def body(carry, batch):
+            st, _ = carry
+            a, b = convert(*batch)
+            st, aux = one_iter(st, a, b)
+            imgs = {k: aux[k] for k in self._IMAGE_KEYS}
+            scalars = {k: v for k, v in aux.items() if jnp.ndim(v) == 0}
+            return (st, imgs), scalars
+
+        img_shapes = jax.eval_shape(
+            lambda st, s, t: {k: v
+                              for k, v in one_iter(st, *convert(s, t))[1].items()
+                              if k in self._IMAGE_KEYS},
+            state, src_u8_k[0], tar_u8_k[0])
+        imgs0 = jax.tree_util.tree_map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype), img_shapes)
+        (state, imgs), scalars = jax.lax.scan(
+            body, (state, imgs0), (src_u8_k, tar_u8_k))
+        return state, imgs, scalars
 
     # -- EMA of the generator weights (ESRGAN-style eval copy) ---------------
 

@@ -58,6 +58,25 @@ class TestTrainTestVis:
             "--threshold", "100"])
         assert n == 0
 
+    def test_steps_per_dispatch_workflow(self, synth, tmp_path, monkeypatch):
+        """--steps-per-dispatch K trains through the scanned multi-step
+        program (one dispatch per K batches) and produces the same
+        checkpoint artifacts as the per-step path."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cas
+
+        train_cas.main([
+            "--SRModel", "ESPCN", "--CModel", "ResDeconv", "--up", "2",
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--num-epochs", "1", "--save-every", "1", "--log-every", "2",
+            "--steps-per-dispatch", "2",
+            "--checkpoints", str(tmp_path / "ckpt_spd"),
+        ])
+        assert os.path.exists(
+            tmp_path / "ckpt_spd" / "ESPCN_A2C_x2_0001.npz")
+        assert os.path.exists(
+            tmp_path / "ckpt_spd" / "casstate_latest.npz")
+
     def test_lab_workflow(self, synth, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         from srcgan_tpu.cli import train_cas, test_cas
@@ -101,6 +120,27 @@ class TestCycleGANDriver:
         ])
         assert os.path.exists(tmp_path / "ckpt_cyc" /
                               "netG_A2B_SRtask_x2_0002.npz")
+
+    def test_steps_per_dispatch(self, synth, tmp_path, monkeypatch):
+        """--steps-per-dispatch K drives the scanned gd_steps_u8 program
+        (requires --pool-size 0) and saves the usual artifacts."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cyclegan
+
+        with pytest.raises(SystemExit, match="pool-size 0"):
+            train_cyclegan.main([
+                "--net", "SRdens", "--root", "Sat2Aerx1", "--data-dir", synth,
+                "--steps-per-dispatch", "2", "--num-epochs", "1",
+                "--checkpoints", str(tmp_path / "ckpt_spd_bad")])
+        train_cyclegan.main([
+            "--net", "SRdens", "--mode", "x2", "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--num-epochs", "1", "--save-every", "1",
+            "--log-every", "2", "--pool-size", "0",
+            "--steps-per-dispatch", "2",
+            "--checkpoints", str(tmp_path / "ckpt_cyc_spd"),
+        ])
+        assert os.path.exists(tmp_path / "ckpt_cyc_spd" /
+                              "netG_A2B_SRtask_x2_0001.npz")
 
 
 class TestCycleGANEval:
