@@ -249,36 +249,46 @@ def bench_lab() -> dict:
     from srcgan_tpu.train import CasTrainer
 
     config.set_conv_precision("default")
-    tr = CasTrainer(sr_model="RDDBNet", c_model="ResDeconv", up=2, lab=True)
-    st0 = tr.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     b, s = 8, 256
     src_u8 = jnp.asarray(rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8))
     tar_u8 = jnp.asarray(rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8))
 
-    def timed_chain(K):
-        @jax.jit
-        def chain(st, a, t, seed):
-            def body(carry, i):
-                stc, _ = tr.train_step_u8(carry, a + (seed * 0 + i % 2).astype(
-                    jnp.uint8), t, 1e-4)
-                return stc, 0.0
-            st, _ = jax.lax.scan(body, st, jnp.arange(K))
-            return jnp.mean(st.sr.params["conv_first"]["w"])
+    def measure(act_dtype):
+        tr = CasTrainer(sr_model="RDDBNet", c_model="ResDeconv", up=2,
+                        lab=True, act_dtype=act_dtype)
+        st0 = tr.init(jax.random.PRNGKey(0))
 
-        float(chain(st0, src_u8, tar_u8, jnp.uint8(0)))
-        ts = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            float(chain(st0, src_u8, tar_u8, jnp.uint8(i % 2)))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+        def timed_chain(K):
+            @jax.jit
+            def chain(st, a, t, seed):
+                def body(carry, i):
+                    stc, _ = tr.train_step_u8(
+                        carry, a + (seed * 0 + i % 2).astype(jnp.uint8),
+                        t, 1e-4)
+                    return stc, 0.0
+                st, _ = jax.lax.scan(body, st, jnp.arange(K))
+                return jnp.mean(st.sr.params["conv_first"]["w"])
 
-    t1, t5 = timed_chain(1), timed_chain(5)
-    per = (t5 - t1) / 4
+            float(chain(st0, src_u8, tar_u8, jnp.uint8(0)))
+            ts = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                float(chain(st0, src_u8, tar_u8, jnp.uint8(i % 2)))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t1, t5 = timed_chain(1), timed_chain(5)
+        return (t5 - t1) / 4
+
+    # fp32 stored activations (the historical metric) + --bf16-acts
+    per = measure(None)
+    per16 = measure(jnp.bfloat16)
     config.set_conv_precision("highest")
     return {"lab_step_ms": round(per * 1000, 1),
-            "lab_mps": round(b * s * s / 1e6 / per, 2)}
+            "lab_mps": round(b * s * s / 1e6 / per, 2),
+            "lab_bf16_acts_step_ms": round(per16 * 1000, 1),
+            "lab_bf16_acts_mps": round(b * s * s / 1e6 / per16, 2)}
 
 
 def bench_int8() -> dict:

@@ -152,7 +152,7 @@ def parent() -> int:
 
         # 2-process run (4+4 devices), then the single-process reference
         procs = [launch(0, 2), launch(1, 2)]
-        outs = [p.communicate(timeout=600)[0] for p in procs]
+        outs = [p.communicate(timeout=2100)[0] for p in procs]
         for p, o in zip(procs, outs):
             if p.returncode != 0:
                 print(o)
@@ -164,7 +164,7 @@ def parent() -> int:
                 print(json.dumps({"ok": False, "error": "worker failed"}))
                 return 1
         ref = launch(0, 1)
-        out_ref = ref.communicate(timeout=600)[0]
+        out_ref = ref.communicate(timeout=2100)[0]
         if ref.returncode != 0:
             print(out_ref)
             print(json.dumps({"ok": False, "error": "reference run failed"}))

@@ -246,33 +246,20 @@ class CasTrainer:
         return self.apply_grads(state, g, mstates, lr), met
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_steps(self, state: CasState, realA_k, realB_k, lr
-                    ) -> Tuple[CasState, Dict[str, jnp.ndarray]]:
-        """K optimization steps in ONE compiled program.
-
-        ``realA_k``/``realB_k`` carry a leading steps axis (K, N, H, W, C);
-        lax.scan threads the train state through K sequential updates so a
-        host loop pays ONE dispatch (and one H2D transfer) per K steps
-        instead of per step — the device-side training-loop pattern.  Within
-        an epoch the reference holds lr constant (trainCas.py:45-61 steps the
-        scheduler once per epoch), so a scalar lr is exact.  Metrics come
-        back stacked per step, shape (K,).
-        """
-        def body(st, batch):
-            a, b = batch
-            grads, mstates, metrics = self.grads(st, a, b)
-            return self.apply_grads(st, grads, mstates, lr), metrics
-
-        return jax.lax.scan(body, state, (realA_k, realB_k))
-
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_steps_u8(self, state: CasState, src_u8_k, tar_u8_k, lr
                        ) -> Tuple[CasState, Dict[str, jnp.ndarray]]:
-        """train_steps with the uint8 fused-preprocessing input path: K
-        (src, tar) uint8 batches cross host->HBM as one 4x-compressed block
-        and decode/normalize/colourspace run inside the scan body (fused
-        into each step's first convs).  Used by the CLI's
-        --steps-per-dispatch to amortize per-dispatch overhead."""
+        """K optimization steps in ONE compiled program (lax.scan), on the
+        uint8 fused-preprocessing input path.
+
+        ``src_u8_k``/``tar_u8_k`` carry a leading steps axis (K, N, H, W, C):
+        K (src, tar) uint8 batches cross host->HBM as one 4x-compressed
+        block, decode/normalize/colourspace run inside the scan body (fused
+        into each step's first convs), and the state threads through K
+        sequential updates — so a host loop pays ONE dispatch + one metrics
+        sync per K steps (the CLI's --steps-per-dispatch).  Within an epoch
+        the reference holds lr constant (trainCas.py:45-61 steps the
+        scheduler once per epoch), so a scalar lr is exact.  Metrics come
+        back stacked per step, shape (K,)."""
         ver = "G2LAB" if self.lab else "G2RGB"
 
         def body(st, batch):

@@ -233,9 +233,13 @@ class TestMultiProcessDP:
         import sys
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # Generous timeout: idle-host wall-clock is ~3.5 min (3 subprocesses,
+        # each paying its own XLA CPU compiles), but under the full suite the
+        # other xdist worker owns half the host and the measured time more
+        # than doubles — 560 s was killed at 86% of a full run (round 3).
         proc = subprocess.run(
             [sys.executable, os.path.join(repo, "scripts", "multiproc_dp.py")],
-            cwd=repo, capture_output=True, text=True, timeout=560)
+            cwd=repo, capture_output=True, text=True, timeout=2400)
         last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
         assert last, f"no JSON verdict:\n{proc.stdout}\n{proc.stderr}"
         verdict = json.loads(last[-1])
