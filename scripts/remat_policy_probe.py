@@ -17,6 +17,12 @@ bf16 acts) with:
   convs   — jax.checkpoint, save-only-conv-results policy
 Scan-slope timed (CLAUDE.md methodology).  Run on TPU from the repo root:
     python scripts/remat_policy_probe.py
+
+MEASURED (v5e, 2026-08, docs/PERF.md "Remat-as-bandwidth-saver"): negative.
+none 35.7 / convs 43.4 / full 44.8 ms per step — the elementwise glue AD
+would re-derive is already fused into XLA's conv backward kernels (it never
+round-tripped through HBM), so the policy only recovers 1.4 of full
+remat's 9.1 ms penalty.  No-remat stays the production default.
 """
 import os
 import sys
