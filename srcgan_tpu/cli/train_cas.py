@@ -221,10 +221,23 @@ def _run(args, preempted):
             raise SystemExit("--ema-decay currently composes with the plain "
                              "single-device step only")
         ema = trainer.ema_init(state)
-    if args.steps_per_dispatch > 1 and (
-            mesh is not None or args.grad_accum > 1 or ema is not None):
-        raise SystemExit("--steps-per-dispatch composes with the plain "
-                         "single-device step only")
+    dp_steps_u8 = None
+    if args.steps_per_dispatch > 1:
+        if args.grad_accum > 1 or ema is not None or (
+                mesh is not None and args.space_size > 1):
+            raise SystemExit("--steps-per-dispatch composes with the plain "
+                             "single-device step or a 1-D --mesh-size data "
+                             "mesh (not --space-size/--grad-accum/"
+                             "--ema-decay)")
+        if mesh is not None:
+            # DP x steps-per-dispatch: K scanned psum'd updates per dispatch
+            # — the production multi-chip loop.  Shards need a divisible
+            # batch; the epoch's ragged tail batch is dropped (drop_last
+            # below) so every block is uniformly (K', batch_size, ...).
+            if args.batch_size % args.mesh_size:
+                raise SystemExit("--steps-per-dispatch with --mesh-size "
+                                 "needs --batch-size divisible by the mesh")
+            dp_steps_u8 = parallel.make_cas_dp_steps_u8(trainer, mesh)
 
     # orbax backend: restore AFTER mesh placement so shards land on-device
     # according to the (possibly replicated/sharded) target's sharding
@@ -314,15 +327,24 @@ def _run(args, preempted):
         lr = trainer.lr_at_epoch(epoch)
         raw_iter = data.batches(trainset, args.batch_size, shuffle=True,
                                 seed=args.seed, epoch=epoch,
-                                workers=args.workers)
+                                workers=args.workers,
+                                drop_last=dp_steps_u8 is not None)
         if args.steps_per_dispatch > 1:
             # K steps per dispatch: stacked uint8 blocks scanned on device
-            # (train_steps_u8) — one dispatch + one metrics sync per K steps.
+            # (train_steps_u8, or its psum'd DP composition under a mesh) —
+            # one dispatch + one metrics sync per K steps.
+            steps_fn = (dp_steps_u8 if dp_steps_u8 is not None
+                        else trainer.train_steps_u8)
+            blk_sharding = None
+            if dp_steps_u8 is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                blk_sharding = NamedSharding(mesh,
+                                             PartitionSpec(None, "data"))
             it = 0
             for src_blk, tar_blk in preprocess.device_put_iter(
-                    _stacked_blocks(raw_iter, args.steps_per_dispatch)):
-                state, mrows = trainer.train_steps_u8(
-                    state, src_blk, tar_blk, lr)
+                    _stacked_blocks(raw_iter, args.steps_per_dispatch),
+                    sharding=blk_sharding):
+                state, mrows = steps_fn(state, src_blk, tar_blk, lr)
                 if preempted["flag"]:
                     _preempt_save(epoch)
                     return state

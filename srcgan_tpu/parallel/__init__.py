@@ -11,6 +11,7 @@ from srcgan_tpu.parallel.mesh import (
 from srcgan_tpu.parallel.dp import (
     make_cas_2d_step,
     make_cas_dp_step,
+    make_cas_dp_steps_u8,
     make_cyclegan_dp_steps,
     make_spatial_infer,
 )
@@ -18,6 +19,6 @@ from srcgan_tpu.parallel.dp import (
 __all__ = [
     "batch_sharding", "make_mesh", "pad_batch_to", "put_batch",
     "put_replicated", "replicated", "spatial_sharding", "make_cas_dp_step",
-    "make_cas_2d_step",
+    "make_cas_dp_steps_u8", "make_cas_2d_step",
     "make_cyclegan_dp_steps", "make_spatial_infer",
 ]

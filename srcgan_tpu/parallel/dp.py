@@ -50,6 +50,47 @@ def make_cas_dp_step(trainer, mesh: Mesh, axis: str = "data"):
     return jax.jit(sharded, donate_argnums=0)
 
 
+def make_cas_dp_steps_u8(trainer, mesh: Mesh, axis: str = "data"):
+    """DP x steps-per-dispatch: K scanned optimization steps, each a psum'd
+    data-parallel update, in ONE compiled program.
+
+    The composition of ``make_cas_dp_step`` (per-step gradient pmean over the
+    'data' axis) with ``CasTrainer.train_steps_u8`` (K steps per dispatch via
+    lax.scan on the uint8 fused-preprocessing input path) — the production
+    multi-chip configuration: batches shard over ICI neighbours while the
+    host pays one dispatch + one metrics sync per K steps.
+
+    Returns steps(state, src_u8_k, tar_u8_k, lr) -> (state, metrics) where
+    the uint8 blocks are (K, N, H, W, C) with N sharded over ``axis`` (N must
+    divide the axis size) and state replicated; metrics come back stacked
+    per step, shape (K,), already pmean'd across shards.
+    """
+    from srcgan_tpu.data import preprocess
+
+    ver = "G2LAB" if trainer.lab else "G2RGB"
+
+    def shard_fn(state, src_u8_k, tar_u8_k, lr):
+        def body(st, batch):
+            s, t = batch
+            realA, realB = preprocess.convert_pair(s, t, ver)
+            grads, mstates, metrics = trainer.grads(st, realA, realB)
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(metrics, axis)
+            mstates = jax.lax.pmean(mstates, axis) if (
+                jax.tree_util.tree_leaves(mstates)) else mstates
+            return trainer.apply_grads(st, grads, mstates, lr), metrics
+
+        return jax.lax.scan(body, state, (src_u8_k, tar_u8_k))
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
 def make_cyclegan_dp_steps(trainer, mesh: Mesh, axis: str = "data"):
     """GSPMD data-parallel wrappers for the CycleGAN trainer's two steps.
 

@@ -77,6 +77,30 @@ class TestTrainTestVis:
         assert os.path.exists(
             tmp_path / "ckpt_spd" / "casstate_latest.npz")
 
+    def test_steps_per_dispatch_with_mesh(self, synth, tmp_path, monkeypatch):
+        """--steps-per-dispatch composes with a 1-D data mesh: K scanned
+        psum'd DP updates per dispatch (make_cas_dp_steps_u8)."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cas
+
+        train_cas.main([
+            "--SRModel", "ESPCN", "--CModel", "ResDeconv", "--up", "2",
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--num-epochs", "1", "--save-every", "1", "--log-every", "2",
+            "--steps-per-dispatch", "2", "--mesh-size", "2",
+            "--batch-size", "2",
+            "--checkpoints", str(tmp_path / "ckpt_spd_dp"),
+        ])
+        assert os.path.exists(
+            tmp_path / "ckpt_spd_dp" / "ESPCN_A2C_x2_0001.npz")
+        # indivisible batch is rejected up front
+        with pytest.raises(SystemExit, match="divisible"):
+            train_cas.main([
+                "--SRModel", "ESPCN", "--root", "Sat2Aerx1",
+                "--data-dir", synth, "--steps-per-dispatch", "2",
+                "--mesh-size", "2", "--batch-size", "3",
+                "--checkpoints", str(tmp_path / "ckpt_spd_bad")])
+
     def test_lab_workflow(self, synth, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         from srcgan_tpu.cli import train_cas, test_cas

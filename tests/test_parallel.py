@@ -98,6 +98,44 @@ class TestCasDP:
         for leaf in jax.tree_util.tree_leaves(st_dp.sr.params):
             assert leaf.dtype == jnp.float32
 
+    def test_dp_steps_u8_match_single_device(self):
+        """DP x steps-per-dispatch (make_cas_dp_steps_u8): K scanned psum'd
+        updates on (K, N, ...) uint8 blocks equal the single-device scanned
+        program (train_steps_u8) on the same blocks.  A sharding bug (wrong
+        axis, missing pmean) would show up O(1); the tolerance only absorbs
+        reduction-order + Adam eps-noise compounding over K=2 steps."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st0 = tr.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(3)
+        K, N, S = 2, 8, 16
+        src = jnp.asarray(rng.integers(0, 256, (K, N, S, S, 3),
+                                       dtype=np.uint8))
+        tar = jnp.asarray(rng.integers(0, 256, (K, N, S, S, 3),
+                                       dtype=np.uint8))
+
+        # single-device scanned program (copy: train_steps_u8 donates)
+        st_copy = jax.tree_util.tree_map(jnp.array, st0)
+        st_single, m_single = tr.train_steps_u8(st_copy, src, tar, 1e-4)
+
+        mesh = parallel.make_mesh()
+        steps = parallel.make_cas_dp_steps_u8(tr, mesh)
+        sh = NamedSharding(mesh, P(None, "data"))
+        st_dp, m_dp = steps(parallel.put_replicated(st0, mesh),
+                            jax.device_put(src, sh),
+                            jax.device_put(tar, sh), 1e-4)
+
+        # per-step stacked losses agree (L1 means-of-means are exact; the
+        # step-2 row sees once-updated params, so it also checks the carry)
+        np.testing.assert_allclose(np.asarray(m_single["loss_SR"]),
+                                   np.asarray(m_dp["loss_SR"]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(m_single["loss_C"]),
+                                   np.asarray(m_dp["loss_C"]), rtol=1e-4)
+        assert np.asarray(m_dp["loss_SR"]).shape == (K,)
+        tree_allclose(st_single.sr.params, st_dp.sr.params, atol=1e-3)
+        tree_allclose(st_single.c.params, st_dp.c.params, atol=1e-3)
+
     def test_dp_two_steps_progress(self):
         tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
         mesh = parallel.make_mesh()
