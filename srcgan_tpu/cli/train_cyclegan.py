@@ -57,6 +57,12 @@ def build_parser():
                         "(full G+D state: params + Adam moments + epoch; the "
                         "tiny host-side ImagePool restarts empty and rewarms "
                         "in pool_size iterations)")
+    p.add_argument("--mesh-size", type=int, default=0,
+                   help="data-parallel devices (0/1 = single device): GSPMD "
+                        "batch sharding with replicated G+D state; the "
+                        "PatchGAN's BatchNorm stats stay global-batch "
+                        "(equivalence-tested in tests/test_parallel.py). "
+                        "Composes with --steps-per-dispatch.")
     return p
 
 
@@ -156,6 +162,27 @@ def _run(args, preempted):
                          "pass-through pool makes the fused K-step program "
                          "exact) and composes without --ema-decay")
 
+    mesh = None
+    b_shard = blk_shard = None
+    if args.mesh_size > 1:
+        # GSPMD data parallelism: batch-sharded inputs + replicated state;
+        # XLA inserts the gradient psums AND the cross-shard reductions that
+        # keep the PatchGAN's BatchNorm statistics global-batch
+        # (tests/test_parallel.py::TestCycleGANDP proves equivalence).
+        if args.ema_decay > 0:
+            raise SystemExit("--ema-decay composes with the single-device "
+                             "step only")
+        if args.batch_size % args.mesh_size:
+            raise SystemExit("--mesh-size needs --batch-size divisible by "
+                             "the mesh")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from srcgan_tpu import parallel
+        mesh = parallel.make_mesh((args.mesh_size,), ("data",))
+        b_shard = parallel.batch_sharding(mesh)
+        blk_shard = NamedSharding(mesh, PartitionSpec(None, "data"))
+        state = parallel.put_replicated(state, mesh)
+
     trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)
     print(f"Starting Training Loop... ({len(trainset)} samples, net={args.net})")
     logger = Logger(len(trainset), args.num_epochs)
@@ -172,8 +199,9 @@ def _run(args, preempted):
             for src_blk, tar_blk in preprocess.device_put_iter(
                     _stacked_blocks(
                         data.batches(trainset, args.batch_size, shuffle=True,
-                                     seed=args.seed, epoch=epoch),
-                        args.steps_per_dispatch)):
+                                     seed=args.seed, epoch=epoch,
+                                     drop_last=mesh is not None),
+                        args.steps_per_dispatch), sharding=blk_shard):
                 state, imgs, rows = trainer.gd_steps_u8(
                     state, src_blk, tar_blk, g_lr, d_lr)
                 if preempted["flag"]:
@@ -208,7 +236,13 @@ def _run(args, preempted):
             continue
         for it, (src_u8, tar_u8, _) in enumerate(
                 data.batches(trainset, args.batch_size, shuffle=True,
-                             seed=args.seed, epoch=epoch)):
+                             seed=args.seed, epoch=epoch,
+                             drop_last=mesh is not None)):
+            if mesh is not None:
+                # shard the uint8 batch BEFORE the on-device conversion so
+                # decode/normalize and everything downstream run sharded
+                src_u8 = jax.device_put(np.asarray(src_u8), b_shard)
+                tar_u8 = jax.device_put(np.asarray(tar_u8), b_shard)
             srcA, realB = preprocess.convert_pair(
                 jnp.asarray(src_u8), jnp.asarray(tar_u8), "G2RGB")
             if args.net == "1":

@@ -166,6 +166,35 @@ class TestCycleGANDriver:
         assert os.path.exists(tmp_path / "ckpt_cyc_spd" /
                               "netG_A2B_SRtask_x2_0001.npz")
 
+    def test_mesh_dp(self, synth, tmp_path, monkeypatch):
+        """--mesh-size N: GSPMD data-parallel GAN training from the CLI —
+        the stateful-pool path, and its --steps-per-dispatch composition."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cyclegan
+
+        train_cyclegan.main([
+            "--net", "SRdens", "--mode", "x2", "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--num-epochs", "1", "--save-every", "1",
+            "--log-every", "2", "--batch-size", "2", "--mesh-size", "2",
+            "--checkpoints", str(tmp_path / "ckpt_cyc_dp"),
+        ])
+        assert os.path.exists(tmp_path / "ckpt_cyc_dp" /
+                              "netG_A2B_SRtask_x2_0001.npz")
+        train_cyclegan.main([
+            "--net", "SRdens", "--mode", "x2", "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--num-epochs", "1", "--save-every", "1",
+            "--log-every", "2", "--batch-size", "2", "--mesh-size", "2",
+            "--pool-size", "0", "--steps-per-dispatch", "2",
+            "--checkpoints", str(tmp_path / "ckpt_cyc_dp_spd"),
+        ])
+        assert os.path.exists(tmp_path / "ckpt_cyc_dp_spd" /
+                              "netG_A2B_SRtask_x2_0001.npz")
+        with pytest.raises(SystemExit, match="divisible"):
+            train_cyclegan.main([
+                "--net", "SRdens", "--root", "Sat2Aerx1", "--data-dir",
+                synth, "--batch-size", "3", "--mesh-size", "2",
+                "--checkpoints", str(tmp_path / "ckpt_cyc_dp_bad")])
+
 
 class TestCycleGANEval:
     def test_eval_driver(self, synth, tmp_path, monkeypatch):

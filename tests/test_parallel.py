@@ -222,6 +222,40 @@ class TestCycleGANDP:
         tree_allclose(st_1.d_model_state, st_dp.d_model_state, atol=1e-4)
 
 
+    def test_gd_steps_u8_sharded_matches(self):
+        """gd_steps_u8 with GSPMD-sharded (K, N, ...) uint8 blocks equals the
+        unsharded program — the CLI's --steps-per-dispatch + --mesh-size
+        path (global-batch BN stats must survive inside the scan)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from srcgan_tpu.train import CycleGANTrainer
+
+        tr = CycleGANTrainer(net="SRdens", mode="x2", pool_size=0)
+        st0 = tr.init(jax.random.PRNGKey(5))
+        rng = np.random.default_rng(7)
+        K, N, S = 2, 8, 32
+        src = jnp.asarray(rng.integers(0, 256, (K, N, S // 2, S // 2, 3),
+                                       dtype=np.uint8))
+        tar = jnp.asarray(rng.integers(0, 256, (K, N, S, S, 3),
+                                       dtype=np.uint8))
+
+        st_copy = jax.tree_util.tree_map(jnp.array, st0)
+        st1, _, rows1 = tr.gd_steps_u8(st_copy, src, tar, 1e-4, 1e-5)
+
+        mesh = parallel.make_mesh()
+        sh = NamedSharding(mesh, P(None, "data"))
+        st2, _, rows2 = tr.gd_steps_u8(
+            parallel.put_replicated(st0, mesh), jax.device_put(src, sh),
+            jax.device_put(tar, sh), 1e-4, 1e-5)
+
+        np.testing.assert_allclose(np.asarray(rows1["loss_G"]),
+                                   np.asarray(rows2["loss_G"]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rows1["loss_D_A"]),
+                                   np.asarray(rows2["loss_D_A"]), rtol=1e-4)
+        tree_allclose(st1.g.params, st2.g.params, atol=1e-3)
+        tree_allclose(st1.d_model_state, st2.d_model_state, atol=1e-4)
+
+
 class TestCas2D:
     def test_2d_matches_single_device(self):
         tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
