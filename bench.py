@@ -401,12 +401,18 @@ def torch_rddb_mps() -> float:
 
     net = TorchRDDB().eval()
     x = torch.randn(1, 1, IN_SIZE, IN_SIZE)
+    # best-of-3: a single 2-iter average once read 2x slow (transient host
+    # load / cpufreq), which inflates vs_baseline; the best repeat is the
+    # honest machine capability
     with torch.no_grad():
         net(x)  # warm
-        t0 = time.perf_counter()
-        for _ in range(TORCH_ITERS):
-            net(x)
-        dt = (time.perf_counter() - t0) / TORCH_ITERS
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(TORCH_ITERS):
+                net(x)
+            dts.append((time.perf_counter() - t0) / TORCH_ITERS)
+        dt = min(dts)
     mps = (IN_SIZE * 4) ** 2 / 1e6 / dt
     try:
         with open(BASELINE_CACHE, "w") as f:
