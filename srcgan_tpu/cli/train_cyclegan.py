@@ -57,6 +57,13 @@ def build_parser():
                         "(full G+D state: params + Adam moments + epoch; the "
                         "tiny host-side ImagePool restarts empty and rewarms "
                         "in pool_size iterations)")
+    p.add_argument("--device-pool", action="store_true",
+                   help="run the ImagePool ON DEVICE: G update, both 50%%-"
+                        "replace pool queries and the D update fuse into ONE "
+                        "program per iteration (no fake-image D2H/H2D hop). "
+                        "Same sampling distribution as the host pool, "
+                        "jax.random stream instead of python random; "
+                        "single-device, pool-size > 0")
     p.add_argument("--mesh-size", type=int, default=0,
                    help="data-parallel devices (0/1 = single device): GSPMD "
                         "batch sharding with replicated G+D state; the "
@@ -162,6 +169,13 @@ def _run(args, preempted):
                          "pass-through pool makes the fused K-step program "
                          "exact) and composes without --ema-decay")
 
+    if args.device_pool and (args.pool_size <= 0 or args.ema_decay > 0
+                             or args.mesh_size > 1
+                             or args.steps_per_dispatch > 1):
+        raise SystemExit("--device-pool needs --pool-size > 0 and composes "
+                         "with the plain single-device iteration only")
+    pool_state = None  # lazily built from the first batch's shapes
+
     mesh = None
     b_shard = blk_shard = None
     if args.mesh_size > 1:
@@ -250,7 +264,13 @@ def _run(args, preempted):
                 realA = ops.interpolate(realB, scale_factor=0.5, mode="nearest")
             else:
                 realA = srcA
-            if ema is not None:
+            if args.device_pool:
+                if pool_state is None:
+                    pool_state = trainer.device_pool_init(
+                        state, realA, realB, seed=args.seed)
+                state, pool_state, aux = trainer.gd_step_pooled(
+                    state, pool_state, realA, realB, g_lr, d_lr)
+            elif ema is not None:
                 state, ema, aux = trainer.optimize_parameters(
                     state, realA, realB, g_lr, d_lr, ema=ema,
                     ema_decay=args.ema_decay)

@@ -9,9 +9,14 @@ Re-creation of /root/reference/src/train.py:145-340 as two fused jit steps:
   d_step: pooled-fake discriminator losses, 0.5x(real+fake) each, one Adam
           update over the joint D_A+D_B params (lr=1e-5, train.py:192).
 
-The ImagePool history buffer (train.py:20-64) stays HOST-side: it is tiny
-(pool_size=4), stateful and RNG-driven — replicating its sampling semantics
-exactly matters more than keeping it on device.
+The ImagePool history buffer (train.py:20-64) is HOST-side by default: it is
+tiny (pool_size=4), stateful and RNG-driven — replicating its sampling
+semantics exactly matters more than keeping it on device.  A DEVICE-side
+pool is also provided (device_pool_init + gd_step_pooled, CLI
+--device-pool): the buffer and fill count ride the jit carry and the 50%
+replace policy draws from jax.random, so the G update, both pool queries
+and the D update fuse into ONE program per iteration — same sampling
+distribution, different RNG stream (documented divergence).
 
 Network selection (train.py:166-180): the committed driver cannot run — it
 imports an undefined RDDBNetA and pairs upscaling generators in both cycle
@@ -305,6 +310,79 @@ class CycleGANTrainer:
             jax.lax.stop_gradient(aux["fake_B"]), d_lr)
         aux.update(d_metrics)
         return state, aux
+
+    # -- device-side ImagePool (fused pool_size>0 iteration) -----------------
+
+    def device_pool_init(self, state: CycleState, realA, realB,
+                         seed: int = 0):
+        """Device pool state for gd_step_pooled: per-pool image buffer
+        (pool_size, H, W, C) + fill count, and the PRNG key that drives the
+        50% replace policy.  Buffer shapes/dtypes come from eval_shape of
+        the G update on the given batch — no compute happens here."""
+        shapes = jax.eval_shape(
+            lambda st, a, b: {k: self._g_update(st, a, b, 1e-4)[1][k]
+                              for k in ("fake_A", "fake_B")},
+            state, realA, realB)
+
+        def buf(sh):
+            return {"buf": jnp.zeros((self.fake_A_pool.pool_size,)
+                                     + sh.shape[1:], sh.dtype),
+                    "n": jnp.zeros((), jnp.int32)}
+
+        return {"A": buf(shapes["fake_A"]), "B": buf(shapes["fake_B"]),
+                "key": jax.random.PRNGKey(seed)}
+
+    @staticmethod
+    def _device_pool_query(pool, images, key):
+        """train.py:36-64 semantics on device: first pool_size images insert
+        and pass through; afterwards each image replaces a uniformly random
+        pool entry with p=0.5 (returning the evicted history image) or
+        passes through.  Sequential over the batch (lax.scan), like the
+        reference's per-image loop."""
+        P = pool["buf"].shape[0]
+
+        def body(carry, xk):
+            buf, n = carry
+            img, k = xk
+            ku, kr = jax.random.split(k)
+            u = jax.random.uniform(ku)
+            rid = jax.random.randint(kr, (), 0, P)
+            not_full = n < P
+            buf_ins = jax.lax.dynamic_update_index_in_dim(buf, img, n, 0)
+            old = jax.lax.dynamic_index_in_dim(buf, rid, 0, keepdims=False)
+            take = u > 0.5
+            buf_rep = jnp.where(
+                take, jax.lax.dynamic_update_index_in_dim(buf, img, rid, 0),
+                buf)
+            out_rep = jnp.where(take, old, img)
+            buf_new = jnp.where(not_full, buf_ins, buf_rep)
+            out = jnp.where(not_full, img, out_rep)
+            n_new = jnp.where(not_full, n + 1, n)
+            return (buf_new, n_new), out
+
+        keys = jax.random.split(key, images.shape[0])
+        (buf, n), out = jax.lax.scan(body, (pool["buf"], pool["n"]),
+                                     (images, keys))
+        return {"buf": buf, "n": n}, out
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def gd_step_pooled(self, state: CycleState, pools, realA, realB,
+                       g_lr, d_lr):
+        """One fused program for the STATEFUL-pool iteration: G update, both
+        device-pool queries, D update on the pooled fakes.  Replaces the
+        g_step -> host pool -> d_step split (2 dispatches + a fake-image
+        D2H/H2D hop) when the pool lives on device (CLI --device-pool).
+        Returns (state, pools, aux)."""
+        state, aux = self._g_update(state, realA, realB, g_lr)
+        kA, kB, knext = jax.random.split(pools["key"], 3)
+        poolA, fake_A = self._device_pool_query(
+            pools["A"], jax.lax.stop_gradient(aux["fake_A"]), kA)
+        poolB, fake_B = self._device_pool_query(
+            pools["B"], jax.lax.stop_gradient(aux["fake_B"]), kB)
+        state, d_metrics = self._d_update(state, realA, realB, fake_A,
+                                          fake_B, d_lr)
+        aux.update(d_metrics)
+        return state, {"A": poolA, "B": poolB, "key": knext}, aux
 
     # Logged image set produced per iteration (train.py:228-260 tensors).
     _IMAGE_KEYS = ("fake_A", "fake_B", "recl_A", "recl_B",

@@ -166,6 +166,26 @@ class TestCycleGANDriver:
         assert os.path.exists(tmp_path / "ckpt_cyc_spd" /
                               "netG_A2B_SRtask_x2_0001.npz")
 
+    def test_device_pool(self, synth, tmp_path, monkeypatch):
+        """--device-pool: the stateful-pool iteration as ONE fused program
+        (G update + on-device 50%-replace pools + D update)."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cyclegan
+
+        train_cyclegan.main([
+            "--net", "SRdens", "--mode", "x2", "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--num-epochs", "1", "--save-every", "1",
+            "--log-every", "2", "--device-pool",
+            "--checkpoints", str(tmp_path / "ckpt_cyc_devpool"),
+        ])
+        assert os.path.exists(tmp_path / "ckpt_cyc_devpool" /
+                              "netG_A2B_SRtask_x2_0001.npz")
+        with pytest.raises(SystemExit, match="pool-size"):
+            train_cyclegan.main([
+                "--net", "SRdens", "--root", "Sat2Aerx1", "--data-dir",
+                synth, "--device-pool", "--pool-size", "0",
+                "--checkpoints", str(tmp_path / "ckpt_cyc_devpool_bad")])
+
     def test_mesh_dp(self, synth, tmp_path, monkeypatch):
         """--mesh-size N: GSPMD data-parallel GAN training from the CLI —
         the stateful-pool path, and its --steps-per-dispatch composition."""

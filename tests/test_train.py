@@ -90,6 +90,81 @@ class TestCycleGAN:
         out2 = pool.query(imgs + 1)
         assert out2.shape == imgs.shape
 
+    def test_device_pool_semantics(self):
+        """The device pool reproduces the reference algorithm
+        (train.py:36-64) exactly given the same random draws: first P
+        images insert and pass through; afterwards each image either evicts
+        a uniformly chosen history entry with p=0.5 (returning the evicted
+        image) or passes through.  The test replays the kernel's own
+        jax.random draws into a python simulation of the host pool."""
+        P = 3
+        pool = {"buf": jnp.zeros((P, 2, 2, 1)),
+                "n": jnp.zeros((), jnp.int32)}
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(0, 1, (9, 2, 2, 1)
+                                       ).astype(np.float32))
+        key = jax.random.PRNGKey(42)
+        new_pool, out = CycleGANTrainer._device_pool_query(pool, imgs, key)
+
+        keys = jax.random.split(key, imgs.shape[0])
+        buf, n, exp, branches = [None] * P, 0, [], set()
+        for i, k in enumerate(keys):
+            ku, kr = jax.random.split(k)
+            u = float(jax.random.uniform(ku))
+            rid = int(jax.random.randint(kr, (), 0, P))
+            img = np.asarray(imgs[i])
+            if n < P:
+                buf[n] = img
+                n += 1
+                exp.append(img)
+            elif u > 0.5:
+                branches.add("replace")
+                exp.append(buf[rid])
+                buf[rid] = img
+            else:
+                branches.add("pass")
+                exp.append(img)
+        assert branches == {"replace", "pass"}, \
+            f"draws exercised only {branches}; pick another key"
+        np.testing.assert_array_equal(np.asarray(out), np.stack(exp))
+        np.testing.assert_array_equal(np.asarray(new_pool["buf"]),
+                                      np.stack(buf))
+        assert int(new_pool["n"]) == P
+
+    def test_gd_step_pooled_matches_gd_step_on_warmup(self):
+        """While the pool is filling (first pool_size images), queries are
+        pass-through, so the fused device-pool iteration must equal gd_step
+        exactly; the pools come back with the fakes inserted."""
+        import jax.tree_util as jtu
+
+        tr = CycleGANTrainer(net="SRdens", mode="x2", pool_size=4,
+                             remat=False)
+        st0 = tr.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        realB = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)
+                                        ).astype(np.float32))
+        realA = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 1)
+                                        ).astype(np.float32))
+
+        st_ref, aux_ref = tr.gd_step(jtu.tree_map(jnp.array, st0),
+                                     realA, realB, 1e-4, 1e-5)
+
+        pools = tr.device_pool_init(st0, realA, realB, seed=0)
+        # fake_A = G_B(realB) lives in domain A (low-res), fake_B in domain B
+        assert pools["A"]["buf"].shape == (4,) + realA.shape[1:]
+        assert pools["B"]["buf"].shape == (4,) + realB.shape[1:]
+        st_p, pools, aux_p = tr.gd_step_pooled(
+            jtu.tree_map(jnp.array, st0), pools, realA, realB, 1e-4, 1e-5)
+
+        for k in ("loss_G", "loss_D_A", "loss_D_B"):
+            np.testing.assert_allclose(float(aux_ref[k]), float(aux_p[k]),
+                                       rtol=1e-5, atol=1e-6)
+        for a, b in zip(jtu.tree_leaves(st_ref.d.params),
+                        jtu.tree_leaves(st_p.d.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        assert int(pools["A"]["n"]) == 2 and int(pools["B"]["n"]) == 2
+
     def test_ema_both_pool_paths(self):
         """EMA generator tracking works through both iteration paths (fused
         gd_step when pool_size=0, g/d split + pool otherwise), applies the
