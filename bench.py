@@ -233,9 +233,41 @@ def bench_gan() -> dict:
 
     t1, t4 = timed_chain(1), timed_chain(4)
     per = (t4 - t1) / 3
+
+    # the reference's DEFAULT protocol keeps an ImagePool of 4
+    # (train.py:352): gd_step_pooled fuses G + device pool + D into one
+    # program (CLI --device-pool; measured 1.54x over the host-pool split,
+    # docs/PERF.md "Device-side ImagePool")
+    tr4 = CycleGANTrainer(net="1", mode="x4", act_dtype=jnp.bfloat16,
+                          pool_size=4, remat=False)
+    st4 = tr4.init(jax.random.PRNGKey(0))
+    pools0 = tr4.device_pool_init(st4, realA, realB, seed=0)
+
+    def timed_chain_pooled(K):
+        @jax.jit
+        def chain(st, pools, a, bb, seed):
+            def body(carry, _):
+                stc, pc = carry
+                stc, pc, _ = tr4.gd_step_pooled(stc, pc, a + seed * 1e-6,
+                                                bb, 1e-4, 1e-5)
+                return (stc, pc), 0.0
+            (st, pools), _ = jax.lax.scan(body, (st, pools), jnp.arange(K))
+            return jnp.mean(st.d.params["D_A"]["0"]["w"])
+
+        float(chain(st4, pools0, realA, realB, jnp.float32(0)))
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(chain(st4, pools0, realA, realB, jnp.float32(i + 1)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    p1, p4 = timed_chain_pooled(1), timed_chain_pooled(4)
+    per_pooled = (p4 - p1) / 3
     config.set_conv_precision("highest")
     return {"gan_step_ms": round(per * 1000, 1),
-            "gan_iters_per_s": round(1.0 / per, 2)}
+            "gan_iters_per_s": round(1.0 / per, 2),
+            "gan_pooled_step_ms": round(per_pooled * 1000, 1)}
 
 
 def bench_lab() -> dict:
