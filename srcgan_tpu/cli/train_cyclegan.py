@@ -169,11 +169,11 @@ def _run(args, preempted):
                          "pass-through pool makes the fused K-step program "
                          "exact) and composes without --ema-decay")
 
-    if args.device_pool and (args.pool_size <= 0 or args.ema_decay > 0
-                             or args.mesh_size > 1
+    if args.device_pool and (args.pool_size <= 0 or args.mesh_size > 1
                              or args.steps_per_dispatch > 1):
         raise SystemExit("--device-pool needs --pool-size > 0 and composes "
-                         "with the plain single-device iteration only")
+                         "with the plain single-device iteration "
+                         "(--ema-decay is fine) only")
     pool_state = None  # lazily built from the first batch's shapes
 
     mesh = None
@@ -268,8 +268,13 @@ def _run(args, preempted):
                 if pool_state is None:
                     pool_state = trainer.device_pool_init(
                         state, realA, realB, seed=args.seed)
-                state, pool_state, aux = trainer.gd_step_pooled(
-                    state, pool_state, realA, realB, g_lr, d_lr)
+                if ema is not None:
+                    state, pool_state, ema, aux = trainer.gd_step_pooled_ema(
+                        state, pool_state, ema, realA, realB, g_lr, d_lr,
+                        args.ema_decay)
+                else:
+                    state, pool_state, aux = trainer.gd_step_pooled(
+                        state, pool_state, realA, realB, g_lr, d_lr)
             elif ema is not None:
                 state, ema, aux = trainer.optimize_parameters(
                     state, realA, realB, g_lr, d_lr, ema=ema,

@@ -384,6 +384,24 @@ class CycleGANTrainer:
         aux.update(d_metrics)
         return state, {"A": poolA, "B": poolB, "key": knext}, aux
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2, 3))
+    def gd_step_pooled_ema(self, state: CycleState, pools, ema, realA, realB,
+                           g_lr, d_lr, decay):
+        """gd_step_pooled fused with the generator-EMA axpy (one program) —
+        the --device-pool x --ema-decay composition."""
+        state, aux = self._g_update(state, realA, realB, g_lr)
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, ema, state.g.params)
+        kA, kB, knext = jax.random.split(pools["key"], 3)
+        poolA, fake_A = self._device_pool_query(
+            pools["A"], jax.lax.stop_gradient(aux["fake_A"]), kA)
+        poolB, fake_B = self._device_pool_query(
+            pools["B"], jax.lax.stop_gradient(aux["fake_B"]), kB)
+        state, d_metrics = self._d_update(state, realA, realB, fake_A,
+                                          fake_B, d_lr)
+        aux.update(d_metrics)
+        return state, {"A": poolA, "B": poolB, "key": knext}, new_ema, aux
+
     # Logged image set produced per iteration (train.py:228-260 tensors).
     _IMAGE_KEYS = ("fake_A", "fake_B", "recl_A", "recl_B",
                    "iden_A", "iden_B", "B2Gry", "A2RGB")

@@ -180,6 +180,15 @@ class TestCycleGANDriver:
         ])
         assert os.path.exists(tmp_path / "ckpt_cyc_devpool" /
                               "netG_A2B_SRtask_x2_0001.npz")
+        # composes with --ema-decay (fused gd_step_pooled_ema program)
+        train_cyclegan.main([
+            "--net", "SRdens", "--mode", "x2", "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--num-epochs", "1", "--save-every", "1",
+            "--log-every", "2", "--device-pool", "--ema-decay", "0.9",
+            "--checkpoints", str(tmp_path / "ckpt_cyc_devpool_ema"),
+        ])
+        assert os.path.exists(tmp_path / "ckpt_cyc_devpool_ema" / "ema" /
+                              "netG_A2B_SRtask_x2_0001.npz")
         with pytest.raises(SystemExit, match="pool-size"):
             train_cyclegan.main([
                 "--net", "SRdens", "--root", "Sat2Aerx1", "--data-dir",

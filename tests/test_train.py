@@ -165,6 +165,37 @@ class TestCycleGAN:
                                        rtol=1e-5, atol=1e-6)
         assert int(pools["A"]["n"]) == 2 and int(pools["B"]["n"]) == 2
 
+    def test_ema_with_device_pool(self):
+        """gd_step_pooled_ema: live weights match gd_step_pooled exactly
+        (same pool keys), and the EMA tree is the axpy of the updated
+        generators."""
+        import jax.tree_util as jtu
+
+        tr = CycleGANTrainer(net="SRdens", mode="x2", pool_size=2,
+                             remat=False)
+        st0 = tr.init(jax.random.PRNGKey(0))
+        realA, realB = make_batch(n=1, size=32)
+        realA_lr = jnp.asarray(np.asarray(realA)[:, ::2, ::2, :])
+
+        pools = tr.device_pool_init(st0, realA_lr, realB, seed=0)
+        st_ref, _, _ = tr.gd_step_pooled(
+            jtu.tree_map(jnp.array, st0), jtu.tree_map(jnp.array, pools),
+            realA_lr, realB, 1e-4, 1e-5)
+
+        ema0 = tr.ema_init(st0)
+        st2, _, ema, aux = tr.gd_step_pooled_ema(
+            jtu.tree_map(jnp.array, st0), pools, ema0, realA_lr, realB,
+            1e-4, 1e-5, 0.9)
+        assert np.isfinite(float(aux["loss_G"]))
+        for a, b in zip(jtu.tree_leaves(st_ref.g.params),
+                        jtu.tree_leaves(st2.g.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        e = np.asarray(jtu.tree_leaves(ema)[0])
+        init_leaf = np.asarray(jtu.tree_leaves(st0.g.params)[0])
+        new_leaf = np.asarray(jtu.tree_leaves(st2.g.params)[0])
+        np.testing.assert_allclose(e, 0.9 * init_leaf + 0.1 * new_leaf,
+                                   rtol=1e-6, atol=1e-7)
+
     def test_ema_both_pool_paths(self):
         """EMA generator tracking works through both iteration paths (fused
         gd_step when pool_size=0, g/d split + pool otherwise), applies the
