@@ -19,6 +19,12 @@ def build_parser():
     p.add_argument("--ngf", type=int, default=64)
     p.add_argument("--netG", type=str, default="resnet_9blocks")
     p.add_argument("--norm", type=str, default="instance")
+    p.add_argument("--device-pool", action="store_true",
+                   help="run the ImagePools ON DEVICE: the three-generator "
+                        "G update, both 50%%-replace pool queries and the D "
+                        "update fuse into ONE program per iteration (same "
+                        "sampling distribution as the host pools, "
+                        "jax.random stream)")
     p.add_argument("--bf16-acts", action="store_true",
                    help="bf16 generator activations with fp32 master params")
     p.add_argument("--save-every", type=int, default=5)
@@ -57,6 +63,7 @@ def main(argv=None):
     logger = Logger(len(trainset), args.num_epochs)
     sf = 2 if args.mode == "x2" else 4
 
+    pool_state = None  # --device-pool: lazily built from first batch shapes
     for epoch in range(1, args.num_epochs + 1):
         g_lr, d_lr = trainer.lr_at_epoch(epoch)
         for it, (src_u8, tar_u8, _) in enumerate(
@@ -67,8 +74,15 @@ def main(argv=None):
             # realB1: prepared like the reference (multi-task.py:410-415);
             # it is unused by the model, kept for protocol parity.
             realB1 = preprocess.degrade_nearest(preprocess.luma(realB), sf)
-            state, aux = trainer.optimize_parameters(state, realA, realB,
-                                                     realB1, g_lr, d_lr)
+            if args.device_pool:
+                if pool_state is None:
+                    pool_state = trainer.device_pool_init(
+                        state, realA, realB, seed=args.seed)
+                state, pool_state, aux = trainer.gd_step_pooled(
+                    state, pool_state, realA, realB, g_lr, d_lr)
+            else:
+                state, aux = trainer.optimize_parameters(
+                    state, realA, realB, realB1, g_lr, d_lr)
             if it % args.log_every == 0:
                 logger.log(
                     nepoch=epoch, niter=it,

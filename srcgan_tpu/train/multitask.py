@@ -187,6 +187,47 @@ class MultiTaskTrainer:
         return (CycleState(state.g, new_d, d_mstate),
                 {"loss_D_A": l_da, "loss_D_B": l_db})
 
+    # -- device-side ImagePool (fused stateful-pool iteration) ---------------
+
+    def device_pool_init(self, state: CycleState, realA, realB,
+                         seed: int = 0):
+        """Device pool state for gd_step_pooled — same layout and semantics
+        as CycleGANTrainer.device_pool_init (buffer + fill count + PRNG key
+        per pool); shapes via eval_shape, no compute."""
+        shapes = jax.eval_shape(
+            lambda st, a, b: {k: MultiTaskTrainer.g_step.__wrapped__(
+                self, st, a, b, 1e-4)[1][k] for k in ("fake_A", "fake_B")},
+            state, realA, realB)
+
+        def buf(sh):
+            return {"buf": jnp.zeros((self.fake_A_pool.pool_size,)
+                                     + sh.shape[1:], sh.dtype),
+                    "n": jnp.zeros((), jnp.int32)}
+
+        return {"A": buf(shapes["fake_A"]), "B": buf(shapes["fake_B"]),
+                "key": jax.random.PRNGKey(seed)}
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def gd_step_pooled(self, state: CycleState, pools, realA, realB,
+                       g_lr, d_lr):
+        """One fused program for the stateful-pool multi-task iteration:
+        G update (three generators), device 50%-replace pool queries, D
+        update on (real_C, pooled fakes) — the --device-pool path, mirroring
+        CycleGANTrainer.gd_step_pooled."""
+        from srcgan_tpu.train.cyclegan import CycleGANTrainer
+
+        state, aux = MultiTaskTrainer.g_step.__wrapped__(
+            self, state, realA, realB, g_lr)
+        kA, kB, knext = jax.random.split(pools["key"], 3)
+        poolA, fake_A = CycleGANTrainer._device_pool_query(
+            pools["A"], jax.lax.stop_gradient(aux["fake_A"]), kA)
+        poolB, fake_B = CycleGANTrainer._device_pool_query(
+            pools["B"], jax.lax.stop_gradient(aux["fake_B"]), kB)
+        state, dm = MultiTaskTrainer.d_step.__wrapped__(
+            self, state, aux["real_C"], realB, fake_A, fake_B, d_lr)
+        aux.update(dm)
+        return state, {"A": poolA, "B": poolB, "key": knext}, aux
+
     def optimize_parameters(self, state: CycleState, realA, realB,
                             realB1=None, g_lr=None, d_lr=None):
         """realB1 accepted and ignored (multi-task.py prepares it unused)."""

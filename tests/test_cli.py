@@ -225,6 +225,38 @@ class TestCycleGANDriver:
                 "--checkpoints", str(tmp_path / "ckpt_cyc_dp_bad")])
 
 
+class TestMultiTaskDriver:
+    def test_short_training(self, synth, tmp_path, monkeypatch):
+        """The multi-task driver (reference multi-task.py net='2') trains
+        end-to-end and saves all three generators; --device-pool drives the
+        fused-pool iteration."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_multitask
+
+        # the multi-task protocol needs the Sat2Aerx2 layout (src at half
+        # the target resolution: real_C = G_C(realA) must land on realB)
+        d = tmp_path / "ds_x2"
+        data.make_synthetic_dataset(str(d / "Sat2Aerx2"), n_train=4,
+                                    n_val=1, n_test=1, size=32, scale=2)
+        train_multitask.main([
+            "--mode", "x2", "--root", "Sat2Aerx2", "--data-dir", str(d),
+            "--ngf", "8", "--netG", "resnet_6blocks",
+            "--num-epochs", "1", "--save-every", "1", "--log-every", "2",
+            "--checkpoints", str(tmp_path / "ckpt_mt"),
+        ])
+        for name in ("G_A", "G_B", "G_C"):
+            assert os.path.exists(
+                tmp_path / "ckpt_mt" / f"netG_{name}_MTtask_x2_0001.npz")
+        train_multitask.main([
+            "--mode", "x2", "--root", "Sat2Aerx2", "--data-dir", str(d),
+            "--ngf", "8", "--netG", "resnet_6blocks", "--device-pool",
+            "--num-epochs", "1", "--save-every", "1", "--log-every", "2",
+            "--checkpoints", str(tmp_path / "ckpt_mt_dp"),
+        ])
+        assert os.path.exists(
+            tmp_path / "ckpt_mt_dp" / "netG_G_C_MTtask_x2_0001.npz")
+
+
 class TestCycleGANEval:
     def test_eval_driver(self, synth, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)

@@ -428,6 +428,39 @@ class TestMultiTask:
         for k in ["loss_G", "loss_G_C", "loss_D_A", "loss_D_B"]:
             assert np.isfinite(float(aux[k])), k
 
+    def test_device_pool_warmup_matches_host(self):
+        """MultiTaskTrainer.gd_step_pooled equals the host-pool
+        optimize_parameters while the pools are filling (pass-through
+        phase) — same losses and D updates in one fused program."""
+        import jax.tree_util as jtu
+
+        from srcgan_tpu.train import MultiTaskTrainer
+
+        rng = np.random.default_rng(0)
+        realB = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)
+                                        ).astype(np.float32))
+        realA = jnp.asarray((np.asarray(realB) @ np.array(
+            [0.2125, 0.7154, 0.0721], np.float32))[..., None][:, ::2, ::2])
+
+        tr1 = MultiTaskTrainer(mode="x2", ngf=8, netG="resnet_6blocks")
+        st1 = tr1.init(jax.random.PRNGKey(0))
+        st1, aux1 = tr1.optimize_parameters(st1, realA, realB)
+
+        tr2 = MultiTaskTrainer(mode="x2", ngf=8, netG="resnet_6blocks")
+        st2 = tr2.init(jax.random.PRNGKey(0))
+        pools = tr2.device_pool_init(st2, realA, realB, seed=0)
+        st2, pools, aux2 = tr2.gd_step_pooled(st2, pools, realA, realB,
+                                              tr2.lr, tr2.d_lr)
+
+        for k in ("loss_G", "loss_D_A", "loss_D_B"):
+            np.testing.assert_allclose(float(aux1[k]), float(aux2[k]),
+                                       rtol=1e-5, atol=1e-6)
+        for a, b in zip(jtu.tree_leaves(st1.d.params),
+                        jtu.tree_leaves(st2.d.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        assert int(pools["A"]["n"]) == 1 and int(pools["B"]["n"]) == 1
+
     def test_bf16_acts_iteration(self):
         """act_dtype=bf16 multitask iteration: losses finite, master params
         and Adam moments stay fp32, Ds receive fp32 inputs (loss path runs)."""
