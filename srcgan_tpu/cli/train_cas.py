@@ -207,7 +207,10 @@ def _run(args, preempted):
         state = parallel.put_replicated(state, mesh)
     elif args.mesh_size > 1:
         mesh = parallel.make_mesh((args.mesh_size,), ("data",))
-        step = parallel.make_cas_dp_step(trainer, mesh)
+        # spd > 1 runs make_cas_dp_steps_u8 instead (built below); the
+        # per-step wrapper would be dead code there
+        step = (parallel.make_cas_dp_step(trainer, mesh)
+                if args.steps_per_dispatch == 1 else None)
         state = parallel.put_replicated(state, mesh)
     else:
         step = trainer.train_step
@@ -238,6 +241,8 @@ def _run(args, preempted):
                 raise SystemExit("--steps-per-dispatch with --mesh-size "
                                  "needs --batch-size divisible by the mesh")
             dp_steps_u8 = parallel.make_cas_dp_steps_u8(trainer, mesh)
+            from jax.sharding import NamedSharding, PartitionSpec
+            dp_blk_sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
 
     # orbax backend: restore AFTER mesh placement so shards land on-device
     # according to the (possibly replicated/sharded) target's sharding
@@ -335,11 +340,7 @@ def _run(args, preempted):
             # one dispatch + one metrics sync per K steps.
             steps_fn = (dp_steps_u8 if dp_steps_u8 is not None
                         else trainer.train_steps_u8)
-            blk_sharding = None
-            if dp_steps_u8 is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                blk_sharding = NamedSharding(mesh,
-                                             PartitionSpec(None, "data"))
+            blk_sharding = dp_blk_sharding if dp_steps_u8 is not None else None
             it = 0
             for src_blk, tar_blk in preprocess.device_put_iter(
                     _stacked_blocks(raw_iter, args.steps_per_dispatch),

@@ -23,6 +23,20 @@ from jax import shard_map
 from srcgan_tpu.parallel import mesh as mesh_lib
 
 
+def _dp_update(trainer, axis, state, realA, realB, lr):
+    """One psum'd DP update (runs inside shard_map): per-shard grads,
+    pmean over ``axis``, identical replicated apply.  Shared by the
+    single-step and K-scanned DP paths so the pmean composition rules
+    (incl. BN-stat averaging) live in exactly one place."""
+    grads, mstates, metrics = trainer.grads(state, realA, realB)
+    grads = jax.lax.pmean(grads, axis)
+    metrics = jax.lax.pmean(metrics, axis)
+    # model state (BN stats), if any, is batch-dependent: average it too.
+    mstates = jax.lax.pmean(mstates, axis) if jax.tree_util.tree_leaves(
+        mstates) else mstates
+    return trainer.apply_grads(state, grads, mstates, lr), metrics
+
+
 def make_cas_dp_step(trainer, mesh: Mesh, axis: str = "data"):
     """Explicit shard_map DP step for a CasTrainer.
 
@@ -32,14 +46,7 @@ def make_cas_dp_step(trainer, mesh: Mesh, axis: str = "data"):
     """
 
     def shard_fn(state, realA, realB, lr):
-        grads, mstates, metrics = trainer.grads(state, realA, realB)
-        grads = jax.lax.pmean(grads, axis)
-        metrics = jax.lax.pmean(metrics, axis)
-        # model state (BN stats), if any, is batch-dependent: average it too.
-        mstates = jax.lax.pmean(mstates, axis) if jax.tree_util.tree_leaves(
-            mstates) else mstates
-        new_state = trainer.apply_grads(state, grads, mstates, lr)
-        return new_state, metrics
+        return _dp_update(trainer, axis, state, realA, realB, lr)
 
     sharded = shard_map(
         shard_fn, mesh=mesh,
@@ -73,12 +80,7 @@ def make_cas_dp_steps_u8(trainer, mesh: Mesh, axis: str = "data"):
         def body(st, batch):
             s, t = batch
             realA, realB = preprocess.convert_pair(s, t, ver)
-            grads, mstates, metrics = trainer.grads(st, realA, realB)
-            grads = jax.lax.pmean(grads, axis)
-            metrics = jax.lax.pmean(metrics, axis)
-            mstates = jax.lax.pmean(mstates, axis) if (
-                jax.tree_util.tree_leaves(mstates)) else mstates
-            return trainer.apply_grads(st, grads, mstates, lr), metrics
+            return _dp_update(trainer, axis, st, realA, realB, lr)
 
         return jax.lax.scan(body, state, (src_u8_k, tar_u8_k))
 

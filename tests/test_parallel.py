@@ -309,9 +309,12 @@ class TestMultiProcessDP:
         # each paying its own XLA CPU compiles), but under the full suite the
         # other xdist worker owns half the host and the measured time more
         # than doubles — 560 s was killed at 86% of a full run (round 3).
+        # Must exceed the SUM of the script's internal communicate timeouts
+        # (2100 s two-worker phase + 2100 s reference run) or a slow-but-
+        # succeeding run is killed here without its JSON verdict.
         proc = subprocess.run(
             [sys.executable, os.path.join(repo, "scripts", "multiproc_dp.py")],
-            cwd=repo, capture_output=True, text=True, timeout=2400)
+            cwd=repo, capture_output=True, text=True, timeout=4800)
         last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
         assert last, f"no JSON verdict:\n{proc.stdout}\n{proc.stderr}"
         verdict = json.loads(last[-1])
