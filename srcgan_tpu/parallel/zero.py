@@ -1,0 +1,162 @@
+"""ZeRO-1 sharded-optimizer data parallelism (reduce_scatter + all_gather).
+
+Plain DP (`parallel.dp`) replicates the Adam moments on every device: each
+chip spends 8 bytes/param of HBM on optimizer state of which it only ever
+*needs* 1/D-th, because every device applies the identical update.  The
+ZeRO-1 recipe shards the OPTIMIZER STATE over the data axis while keeping
+the params replicated for the forward:
+
+    per-shard grads --psum_scatter--> grad shard (1/D-th, already summed)
+    Adam moment update + param delta on the local 1/D-th shard only
+    updated param shard --all_gather--> full params for the next forward
+
+Per step each gradient element crosses ICI exactly once (the
+reduce-scatter) and each param element once (the all-gather) — the same
+2x volume as plain DP's gradient all-reduce (an all-reduce IS a
+reduce-scatter followed by an all-gather), so the communication cost is
+unchanged while the moments and the Adam arithmetic shrink to 1/D per
+chip.  On a 16 GB v5e that turns Adam's 8 bytes/param into 8/D.
+
+The sharding layout is explicit: every param leaf is flattened, padded to
+a multiple of the axis size D, and viewed as (D, chunk); moment arrays are
+stored in exactly that (D, chunk) global shape with the leading dim
+sharded over the axis, so device i physically holds only its own
+(1, chunk) slice.  The update math is matched to ``optax.adam``
+(scale_by_adam with eps_root=0, bias-corrected), and equivalence to the
+plain-DP + optax step is tested (tests/test_parallel.py::TestZero1).
+
+The reference (single cuda:0, SURVEY.md §2.9) has no analog; this is the
+standard large-model TPU recipe expressed for the SR cascade.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from srcgan_tpu.parallel import mesh as mesh_lib
+from srcgan_tpu.train.cas import CasState
+from srcgan_tpu.train.state import TrainState
+
+
+def _chunk(n: int, d: int) -> int:
+    return -(-n // d)
+
+
+def _to_2d(leaf, d: int):
+    """Flatten a leaf and view it as (d, chunk), zero-padded at the end."""
+    flat = leaf.reshape(-1)
+    pad = _chunk(flat.size, d) * d - flat.size
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    return flat.reshape(d, -1)
+
+
+def _from_2d(x2d, shape, size: int):
+    return x2d.reshape(-1)[:size].reshape(shape)
+
+
+def zero1_opt_init(params, mesh: Mesh, axis: str = "data"):
+    """Sharded Adam moments (mu, nu) for a params tree.
+
+    Each leaf's moments are zeros of global shape (D, ceil(n/D)) with the
+    leading dim sharded over ``axis`` — device i holds only row i.
+    """
+    d = mesh.shape[axis]
+    sh = NamedSharding(mesh, P(axis))
+
+    def zeros_like_sharded(p):
+        return jax.device_put(jnp.zeros((d, _chunk(p.size, d)), p.dtype), sh)
+
+    mu = jax.tree_util.tree_map(zeros_like_sharded, params)
+    nu = jax.tree_util.tree_map(zeros_like_sharded, params)
+    return (mu, nu)
+
+
+def zero1_init(trainer, key, mesh: Mesh, axis: str = "data") -> CasState:
+    """CasState for the ZeRO-1 step: params replicated, moments sharded.
+
+    The opt_state slot of each TrainState holds the (mu, nu) shard pair
+    instead of an optax state; only ``make_cas_zero1_step`` understands it.
+    """
+    state = mesh_lib.put_replicated(trainer.init(key), mesh)
+
+    def reopt(ts: TrainState) -> TrainState:
+        return TrainState(ts.params, zero1_opt_init(ts.params, mesh, axis),
+                          ts.step)
+
+    return CasState(reopt(state.sr), reopt(state.c),
+                    state.sr_model_state, state.c_model_state)
+
+
+def zero1_opt_bytes_per_device(params, mesh: Mesh, axis: str = "data") -> int:
+    """HBM the sharded moments cost on ONE device (vs 2x params replicated)."""
+    d = mesh.shape[axis]
+    return sum(2 * _chunk(p.size, d) * p.dtype.itemsize
+               for p in jax.tree_util.tree_leaves(params))
+
+
+def make_cas_zero1_step(trainer, mesh: Mesh, axis: str = "data",
+                        b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-8):
+    """ZeRO-1 DP train step for a CasTrainer.
+
+    Returns step(state, realA, realB, lr) -> (state, metrics): batches are
+    sharded over ``axis`` (leading dim divisible by the axis size), params
+    replicated, Adam moments sharded per ``zero1_init``.  Equivalent math
+    to ``make_cas_dp_step`` + optax.adam; only the state layout and the
+    collective schedule differ.
+    """
+    d = mesh.shape[axis]
+
+    def update_ts(ts: TrainState, grads, lr) -> TrainState:
+        count = ts.step + 1
+        cf = count.astype(jnp.float32)
+        # optax scale_by_adam bias correction (eps_root=0)
+        c1 = 1.0 - jnp.float32(b1) ** cf
+        c2 = 1.0 - jnp.float32(b2) ** cf
+        idx = jax.lax.axis_index(axis)
+        mu, nu = ts.opt_state
+
+        def leaf(p, g, m, v):
+            # reduce-scatter the summed grads; /d makes it the global mean
+            gs = jax.lax.psum_scatter(_to_2d(g, d), axis,
+                                      scatter_dimension=0, tiled=True) / d
+            m2 = b1 * m + (1.0 - b1) * gs
+            v2 = b2 * v + (1.0 - b2) * jnp.square(gs)
+            upd = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
+            p_shard = jax.lax.dynamic_slice_in_dim(_to_2d(p, d), idx, 1, 0)
+            new_shard = p_shard - lr * upd
+            full = jax.lax.all_gather(new_shard, axis, axis=0, tiled=True)
+            return _from_2d(full, p.shape, p.size), m2, v2
+
+        flat_p, treedef = jax.tree_util.tree_flatten(ts.params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_m = treedef.flatten_up_to(mu)
+        flat_v = treedef.flatten_up_to(nu)
+        res = [leaf(p, g, m, v)
+               for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+        return TrainState(treedef.unflatten([r[0] for r in res]),
+                          (treedef.unflatten([r[1] for r in res]),
+                           treedef.unflatten([r[2] for r in res])),
+                          count)
+
+    def shard_fn(state: CasState, realA, realB, lr):
+        grads, mstates, metrics = trainer.grads(state, realA, realB)
+        metrics = jax.lax.pmean(metrics, axis)
+        if jax.tree_util.tree_leaves(mstates):
+            mstates = jax.lax.pmean(mstates, axis)
+        return CasState(update_ts(state.sr, grads["sr"], lr),
+                        update_ts(state.c, grads["c"], lr),
+                        mstates["sr"], mstates["c"]), metrics
+
+    ts_spec = TrainState(P(), (P(axis), P(axis)), P())
+    state_spec = CasState(ts_spec, ts_spec, P(), P())
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(state_spec, P(axis), P(axis), P()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)

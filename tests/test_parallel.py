@@ -321,3 +321,134 @@ class TestMultiProcessDP:
         if proc.returncode == 3 or verdict.get("skip"):
             pytest.skip(f"jax.distributed unsupported here: {verdict}")
         assert proc.returncode == 0 and verdict["ok"], verdict
+
+
+class TestZero1:
+    def test_zero1_matches_plain_dp(self):
+        """ZeRO-1 (sharded Adam moments, psum_scatter grads + all_gather
+        params) must be the SAME math as plain DP + optax.adam — only the
+        state layout and collective schedule differ.  Three steps so the
+        moment recursions and bias corrections are exercised past their
+        initializations."""
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        mesh = parallel.make_mesh()
+        realA, realB = make_batch(8)
+        a, b = parallel.put_batch(realA, mesh), parallel.put_batch(realB, mesh)
+
+        st_dp = parallel.put_replicated(tr.init(jax.random.PRNGKey(0)), mesh)
+        dp_step = parallel.make_cas_dp_step(tr, mesh)
+        st_z = parallel.zero1_init(tr, jax.random.PRNGKey(0), mesh)
+        z_step = parallel.make_cas_zero1_step(tr, mesh)
+
+        for _ in range(3):
+            st_dp, m_dp = dp_step(st_dp, a, b, 1e-3)
+            st_z, m_z = z_step(st_z, a, b, 1e-3)
+
+        np.testing.assert_allclose(float(m_dp["loss_SR"]),
+                                   float(m_z["loss_SR"]), rtol=1e-4)
+        np.testing.assert_allclose(float(m_dp["loss_C"]),
+                                   float(m_z["loss_C"]), rtol=1e-4)
+        # params agree up to cross-device reduction order (psum_scatter vs
+        # pmean), amplified by Adam's eps normalization on near-zero grads
+        tree_allclose(st_dp.sr.params, st_z.sr.params, atol=2e-4)
+        tree_allclose(st_dp.c.params, st_z.c.params, atol=2e-4)
+        assert int(st_z.sr.step) == 3
+
+    def test_moments_physically_sharded(self):
+        """Each device must HOLD only its 1/D-th of every moment array —
+        the memory claim, checked on the committed buffers."""
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        mesh = parallel.make_mesh()
+        st_z = parallel.zero1_init(tr, jax.random.PRNGKey(1), mesh)
+        mu, nu = st_z.sr.opt_state
+        for leaf in jax.tree_util.tree_leaves(mu):
+            assert leaf.shape[0] == 8
+            shards = leaf.addressable_shards
+            assert len(shards) == 8
+            assert all(s.data.shape[0] == 1 for s in shards)
+        # the per-device moment bytes are ~1/8th of replicated Adam state
+        params = st_z.sr.params
+        full = sum(2 * p.size * p.dtype.itemsize
+                   for p in jax.tree_util.tree_leaves(params))
+        per_dev = parallel.zero1_opt_bytes_per_device(params, mesh)
+        # padding adds at most D-1 elements per leaf
+        n_leaves = len(jax.tree_util.tree_leaves(params))
+        assert per_dev <= full / 8 + n_leaves * 8 * 8
+
+
+class TestTensorParallel:
+    def test_tp_infer_matches(self):
+        """Channel-sharded weights + GSPMD propagation = unsharded output,
+        on the flagship RDDB architecture (dense concats + deconv tail are
+        where a wrong O-dim sharding would misalign channels)."""
+        mesh = parallel.make_mesh((8,), ("model",))
+        m = models.RDDBNet(1, 1, 4, nf=16, nb=1)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (1, 16, 16, 1)).astype(np.float32))
+        from srcgan_tpu.models import rddb
+        with rddb.no_pallas_tail():
+            ref = m.fwd(p, x)
+        p_tp = parallel.tp_shard_params(p, mesh)
+        # a 4-D kernel with divisible O really is sharded; the 1-ch head is not
+        specs = {id(l): l.sharding.spec for l in jax.tree_util.tree_leaves(p_tp)}
+        assert any("model" in str(s) for s in specs.values())
+        got = parallel.make_tp_infer(m, mesh)(p_tp, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_tp_step_matches_single_device(self):
+        """2-D (data x model) hybrid train step == single-device step: the
+        channel-sharded Adam update and the data-axis grad psum are both
+        compiler-derived, so any spec error shows up O(1) in the params."""
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        st0 = tr.init(jax.random.PRNGKey(2))
+        realA, realB = make_batch(4)
+
+        st_copy = jax.tree_util.tree_map(jnp.array, st0)
+        st_single, m_single = tr.train_step(st_copy, realA, realB, 1e-4)
+
+        mesh = parallel.make_mesh((2, 4), ("data", "model"))
+        step = parallel.make_cas_tp_step(tr, mesh)
+        st_tp, m_tp = step(parallel.put_replicated(st0, mesh),
+                           realA, realB, 1e-4)
+        np.testing.assert_allclose(float(m_single["loss_SR"]),
+                                   float(m_tp["loss_SR"]), rtol=1e-4)
+        tree_allclose(st_single.sr.params, st_tp.sr.params, atol=2e-4)
+        tree_allclose(st_single.c.params, st_tp.c.params, atol=2e-4)
+        # the updated params really live channel-sharded over 'model'
+        assert any(
+            l.ndim == 4 and "model" in str(l.sharding.spec)
+            for l in jax.tree_util.tree_leaves(st_tp.sr.params))
+
+
+class TestPipeline:
+    def test_pipeline_matches_sequential_cascade(self):
+        """2-stage ppermute pipeline == stage1(stage0(.)) per microbatch.
+        Exercises the fill tick (zero buffer discarded), the drain tick,
+        and the ring handoff of the inter-stage activation."""
+        mesh = parallel.make_mesh((2,), ("pipe",),
+                                  devices=jax.devices()[:2])
+        sr = models.ESPCN(1, 1, 2)
+        col = models.ResDeconv(1, 3)
+        p0 = sr.init(jax.random.PRNGKey(0))
+        p1 = col.init(jax.random.PRNGKey(1))
+        f0 = lambda p, v: sr.fwd(p, v)
+        f1 = lambda p, v: col.fwd(p, v)
+
+        T, m, s = 3, 2, 8
+        xq = jnp.asarray(np.random.default_rng(2).uniform(
+            0, 1, (T, m, s, s, 1)).astype(np.float32))
+
+        infer = parallel.make_cascade_pipeline_infer(f0, f1, mesh)
+        got = infer(p0, p1, xq)
+        ref = jnp.stack([f1(p1, f0(p0, xq[t])) for t in range(T)])
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_pipeline_rejects_wrong_axis_size(self):
+        mesh = parallel.make_mesh((8,), ("pipe",))
+        with pytest.raises(ValueError, match="size 2"):
+            parallel.make_cascade_pipeline_infer(
+                lambda p, v: v, lambda p, v: v, mesh)
