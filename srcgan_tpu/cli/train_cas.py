@@ -46,6 +46,12 @@ def build_parser():
                    help="with --mesh-size: extra mesh axis sharding image "
                         "height (2-D data x space mesh; GSPMD halo exchange) "
                         "for per-sample resolutions beyond one chip's HBM")
+    p.add_argument("--zero-opt", action="store_true",
+                   help="with --mesh-size: ZeRO-1 optimizer-state sharding — "
+                        "grads reduce-scattered, Adam moments and update on "
+                        "1/N-th per chip, updated params all-gathered (same "
+                        "math as plain DP, 1/N optimizer HBM); composes with "
+                        "--steps-per-dispatch and --bf16-acts")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize network activations (jax.checkpoint) "
@@ -194,13 +200,35 @@ def _run(args, preempted):
     state = trainer.init(jax.random.PRNGKey(args.seed))
     start_epoch = 1
     state_path = os.path.join(args.checkpoints, "casstate_latest.npz")
-    if args.resume and not args.orbax_dir and os.path.exists(state_path):
+    if (args.resume and not args.orbax_dir and not args.zero_opt
+            and os.path.exists(state_path)):
         state, extra = load_train_state(state_path, state)
         start_epoch = int(extra.get("epoch", 0)) + 1
         print(f"resumed from {state_path} at epoch {start_epoch}")
 
     mesh = None
-    if args.mesh_size > 1 and args.space_size > 1:
+    if args.zero_opt:
+        # ZeRO-1: the opt_state slot holds row-sharded (mu, nu) arrays, so
+        # the state template, resume path and step wrapper all differ from
+        # the replicated-optax branches below.
+        if args.mesh_size <= 1 or args.space_size > 1:
+            raise SystemExit("--zero-opt requires a 1-D --mesh-size data "
+                             "mesh (no --space-size)")
+        if args.orbax_dir or args.ema_decay > 0 or args.grad_accum > 1:
+            raise SystemExit("--zero-opt composes with the npz state backend "
+                             "and the plain DP loop (not --orbax-dir/"
+                             "--ema-decay/--grad-accum)")
+        mesh = parallel.make_mesh((args.mesh_size,), ("data",))
+        state = parallel.zero1_init(trainer, jax.random.PRNGKey(args.seed),
+                                    mesh)
+        if args.resume and os.path.exists(state_path):
+            raw, extra = load_train_state(state_path, jax.device_get(state))
+            state = parallel.zero1_put(raw, mesh)
+            start_epoch = int(extra.get("epoch", 0)) + 1
+            print(f"resumed from {state_path} at epoch {start_epoch}")
+        step = (parallel.make_cas_zero1_step(trainer, mesh)
+                if args.steps_per_dispatch == 1 else None)
+    elif args.mesh_size > 1 and args.space_size > 1:
         mesh = parallel.make_mesh((args.mesh_size, args.space_size),
                                   ("data", "space"))
         step = parallel.make_cas_2d_step(trainer, mesh)
@@ -240,7 +268,9 @@ def _run(args, preempted):
             if args.batch_size % args.mesh_size:
                 raise SystemExit("--steps-per-dispatch with --mesh-size "
                                  "needs --batch-size divisible by the mesh")
-            dp_steps_u8 = parallel.make_cas_dp_steps_u8(trainer, mesh)
+            dp_steps_u8 = (parallel.make_cas_zero1_steps_u8(trainer, mesh)
+                           if args.zero_opt else
+                           parallel.make_cas_dp_steps_u8(trainer, mesh))
             from jax.sharding import NamedSharding, PartitionSpec
             dp_blk_sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
 

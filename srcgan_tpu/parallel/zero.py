@@ -97,18 +97,29 @@ def zero1_opt_bytes_per_device(params, mesh: Mesh, axis: str = "data") -> int:
                for p in jax.tree_util.tree_leaves(params))
 
 
-def make_cas_zero1_step(trainer, mesh: Mesh, axis: str = "data",
-                        b1: float = 0.9, b2: float = 0.999,
-                        eps: float = 1e-8):
-    """ZeRO-1 DP train step for a CasTrainer.
+def zero1_put(state: CasState, mesh: Mesh, axis: str = "data") -> CasState:
+    """Place a host-side ZeRO CasState (e.g. a restored checkpoint) on the
+    mesh: params replicated, (mu, nu) moment arrays row-sharded."""
+    sh = NamedSharding(mesh, P(axis))
 
-    Returns step(state, realA, realB, lr) -> (state, metrics): batches are
-    sharded over ``axis`` (leading dim divisible by the axis size), params
-    replicated, Adam moments sharded per ``zero1_init``.  Equivalent math
-    to ``make_cas_dp_step`` + optax.adam; only the state layout and the
-    collective schedule differ.
-    """
-    d = mesh.shape[axis]
+    def place(ts: TrainState) -> TrainState:
+        put = lambda t: jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), t)
+        return TrainState(mesh_lib.put_replicated(ts.params, mesh),
+                          (put(ts.opt_state[0]), put(ts.opt_state[1])),
+                          mesh_lib.put_replicated(ts.step, mesh))
+
+    return CasState(place(state.sr), place(state.c),
+                    mesh_lib.put_replicated(state.sr_model_state, mesh),
+                    mesh_lib.put_replicated(state.c_model_state, mesh))
+
+
+def _make_zero1_update(trainer, axis: str, d: int, b1: float, b2: float,
+                       eps: float):
+    """The shared per-step ZeRO-1 update body (runs inside shard_map):
+    per-shard grads -> psum_scatter -> sharded Adam -> all_gather params.
+    Shared by the single-step and K-scanned wrappers so the collective
+    schedule lives in exactly one place (mirrors dp._dp_update)."""
 
     def update_ts(ts: TrainState, grads, lr) -> TrainState:
         count = ts.step + 1
@@ -142,7 +153,7 @@ def make_cas_zero1_step(trainer, mesh: Mesh, axis: str = "data",
                            treedef.unflatten([r[2] for r in res])),
                           count)
 
-    def shard_fn(state: CasState, realA, realB, lr):
+    def update_state(state: CasState, realA, realB, lr):
         grads, mstates, metrics = trainer.grads(state, realA, realB)
         metrics = jax.lax.pmean(metrics, axis)
         if jax.tree_util.tree_leaves(mstates):
@@ -151,11 +162,62 @@ def make_cas_zero1_step(trainer, mesh: Mesh, axis: str = "data",
                         update_ts(state.c, grads["c"], lr),
                         mstates["sr"], mstates["c"]), metrics
 
+    return update_state
+
+
+def _zero1_specs(axis: str):
     ts_spec = TrainState(P(), (P(axis), P(axis)), P())
-    state_spec = CasState(ts_spec, ts_spec, P(), P())
+    return CasState(ts_spec, ts_spec, P(), P())
+
+
+def make_cas_zero1_step(trainer, mesh: Mesh, axis: str = "data",
+                        b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-8):
+    """ZeRO-1 DP train step for a CasTrainer.
+
+    Returns step(state, realA, realB, lr) -> (state, metrics): batches are
+    sharded over ``axis`` (leading dim divisible by the axis size), params
+    replicated, Adam moments sharded per ``zero1_init``.  Equivalent math
+    to ``make_cas_dp_step`` + optax.adam; only the state layout and the
+    collective schedule differ.
+    """
+    update_state = _make_zero1_update(trainer, axis, mesh.shape[axis],
+                                      b1, b2, eps)
+    state_spec = _zero1_specs(axis)
+    sharded = shard_map(
+        update_state, mesh=mesh,
+        in_specs=(state_spec, P(axis), P(axis), P()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def make_cas_zero1_steps_u8(trainer, mesh: Mesh, axis: str = "data",
+                            b1: float = 0.9, b2: float = 0.999,
+                            eps: float = 1e-8):
+    """ZeRO-1 x steps-per-dispatch: K scanned sharded-optimizer updates per
+    dispatch, on the uint8 fused-preprocessing input path — the ZeRO analog
+    of ``dp.make_cas_dp_steps_u8`` (same (K, N, ...) uint8 blocks, N sharded
+    over ``axis``, metrics stacked per step)."""
+    from srcgan_tpu.data import preprocess
+
+    ver = "G2LAB" if trainer.lab else "G2RGB"
+    update_state = _make_zero1_update(trainer, axis, mesh.shape[axis],
+                                      b1, b2, eps)
+
+    def shard_fn(state, src_u8_k, tar_u8_k, lr):
+        def body(st, batch):
+            s, t = batch
+            realA, realB = preprocess.convert_pair(s, t, ver)
+            return update_state(st, realA, realB, lr)
+
+        return jax.lax.scan(body, state, (src_u8_k, tar_u8_k))
+
+    state_spec = _zero1_specs(axis)
     sharded = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(state_spec, P(axis), P(axis), P()),
+        in_specs=(state_spec, P(None, axis), P(None, axis), P()),
         out_specs=(state_spec, P()),
         check_vma=False,
     )

@@ -328,3 +328,54 @@ class TestPreemption:
             "--log-every", "1000", "--checkpoints", ck, "--resume"])
         _, extra2 = load_train_state(state_path, like)
         assert int(extra2["epoch"]) >= int(extra["epoch"])
+
+
+class TestZeroOptCLI:
+    def test_zero_opt_workflow_and_resume(self, synth, tmp_path, monkeypatch):
+        """--zero-opt trains with sharded Adam state, saves resumable
+        full-state checkpoints, and --resume restores through zero1_put."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cas
+
+        ck = str(tmp_path / "ckpt_zero")
+        argv = ["--SRModel", "ESPCN", "--CModel", "ResDeconv", "--up", "2",
+                "--root", "Sat2Aerx1", "--data-dir", synth,
+                "--save-every", "1", "--log-every", "2",
+                "--mesh-size", "2", "--zero-opt", "--batch-size", "2",
+                "--checkpoints", ck]
+        train_cas.main(argv + ["--num-epochs", "1"])
+        assert os.path.exists(os.path.join(ck, "ESPCN_A2C_x2_0001.npz"))
+        assert os.path.exists(os.path.join(ck, "casstate_latest.npz"))
+        # resume continues into epoch 2 through the zero1_put restore path
+        train_cas.main(argv + ["--num-epochs", "2", "--resume"])
+        assert os.path.exists(os.path.join(ck, "ESPCN_A2C_x2_0002.npz"))
+
+    def test_zero_opt_composes_with_steps_per_dispatch(self, synth, tmp_path,
+                                                       monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cas
+
+        train_cas.main([
+            "--SRModel", "ESPCN", "--CModel", "ResDeconv", "--up", "2",
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--num-epochs", "1", "--save-every", "1", "--log-every", "2",
+            "--mesh-size", "2", "--zero-opt", "--batch-size", "2",
+            "--steps-per-dispatch", "2",
+            "--checkpoints", str(tmp_path / "ckpt_zero_spd"),
+        ])
+        assert os.path.exists(
+            tmp_path / "ckpt_zero_spd" / "ESPCN_A2C_x2_0001.npz")
+
+    def test_zero_opt_rejects_bad_compositions(self, synth, tmp_path,
+                                               monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cas
+
+        base = ["--SRModel", "ESPCN", "--root", "Sat2Aerx1",
+                "--data-dir", synth,
+                "--checkpoints", str(tmp_path / "ckpt_zero_bad")]
+        with pytest.raises(SystemExit, match="1-D --mesh-size"):
+            train_cas.main(base + ["--zero-opt"])
+        with pytest.raises(SystemExit, match="npz state backend"):
+            train_cas.main(base + ["--zero-opt", "--mesh-size", "2",
+                                   "--ema-decay", "0.99"])
