@@ -163,17 +163,20 @@ def _run(args, preempted):
                 ev += ["--data-dir", args.data_dir]
             test_cyclegan.main(ev)
 
-    if args.steps_per_dispatch > 1 and (
-            args.pool_size != 0 or args.ema_decay > 0):
-        raise SystemExit("--steps-per-dispatch requires --pool-size 0 (the "
-                         "pass-through pool makes the fused K-step program "
-                         "exact) and composes without --ema-decay")
+    if args.steps_per_dispatch > 1:
+        if args.ema_decay > 0:
+            raise SystemExit("--steps-per-dispatch composes without "
+                             "--ema-decay")
+        if args.pool_size != 0 and not args.device_pool:
+            raise SystemExit("--steps-per-dispatch requires --pool-size 0 "
+                             "(the pass-through pool makes the fused K-step "
+                             "program exact) or --device-pool (the pool "
+                             "state rides the scan carry)")
 
-    if args.device_pool and (args.pool_size <= 0 or args.mesh_size > 1
-                             or args.steps_per_dispatch > 1):
-        raise SystemExit("--device-pool needs --pool-size > 0 and composes "
-                         "with the plain single-device iteration "
-                         "(--ema-decay is fine) only")
+    if args.device_pool and (args.pool_size <= 0 or args.mesh_size > 1):
+        raise SystemExit("--device-pool needs --pool-size > 0 and a single "
+                         "device (--ema-decay and --steps-per-dispatch "
+                         "compose)")
     pool_state = None  # lazily built from the first batch's shapes
 
     mesh = None
@@ -216,8 +219,23 @@ def _run(args, preempted):
                                      seed=args.seed, epoch=epoch,
                                      drop_last=mesh is not None),
                         args.steps_per_dispatch), sharding=blk_shard):
-                state, imgs, rows = trainer.gd_steps_u8(
-                    state, src_blk, tar_blk, g_lr, d_lr)
+                if args.device_pool:
+                    if pool_state is None:
+                        # pool buffers are sized from the first batch's
+                        # converted shapes (exactly the shapes the scan
+                        # body produces)
+                        srcA0, realB0 = preprocess.convert_pair(
+                            src_blk[0], tar_blk[0], "G2RGB")
+                        realA0 = (ops.interpolate(realB0, scale_factor=0.5,
+                                                  mode="nearest")
+                                  if args.net == "1" else srcA0)
+                        pool_state = trainer.device_pool_init(
+                            state, realA0, realB0, seed=args.seed)
+                    state, pool_state, imgs, rows = trainer.gd_steps_pooled_u8(
+                        state, pool_state, src_blk, tar_blk, g_lr, d_lr)
+                else:
+                    state, imgs, rows = trainer.gd_steps_u8(
+                        state, src_blk, tar_blk, g_lr, d_lr)
                 if preempted["flag"]:
                     _preempt_save(epoch)
                     return state

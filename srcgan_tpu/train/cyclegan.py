@@ -460,6 +460,56 @@ class CycleGANTrainer:
             body, (state, imgs0), (src_u8_k, tar_u8_k))
         return state, imgs, scalars
 
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def gd_steps_pooled_u8(self, state: CycleState, pools, src_u8_k, tar_u8_k,
+                           g_lr, d_lr):
+        """K fused STATEFUL-pool iterations in ONE compiled program — the
+        --device-pool x --steps-per-dispatch composition: gd_step_pooled's
+        body (G update, both device-pool queries, D update on pooled fakes)
+        scanned over K stacked uint8 batches with (state, pools) threaded
+        through the carry.  Same return protocol as gd_steps_u8 ((K,)
+        stacked scalars, last step's logged images) plus the updated pools.
+        Pool semantics are identical to K sequential gd_step_pooled calls
+        (the PRNG key threads through the carry) — tested."""
+        def convert(s, t):
+            srcA, realB = preprocess.convert_pair(s, t, "G2RGB")
+            if self.net == "1":
+                realA = ops.interpolate(realB, scale_factor=0.5,
+                                        mode="nearest")
+            else:
+                realA = srcA
+            return realA, realB
+
+        def one_iter(st, pl, a, b):
+            st, aux = self._g_update(st, a, b, g_lr)
+            kA, kB, knext = jax.random.split(pl["key"], 3)
+            poolA, fake_A = self._device_pool_query(
+                pl["A"], jax.lax.stop_gradient(aux["fake_A"]), kA)
+            poolB, fake_B = self._device_pool_query(
+                pl["B"], jax.lax.stop_gradient(aux["fake_B"]), kB)
+            st, d_metrics = self._d_update(st, a, b, fake_A, fake_B, d_lr)
+            aux.update(d_metrics)
+            return st, {"A": poolA, "B": poolB, "key": knext}, aux
+
+        def body(carry, batch):
+            st, pl, _ = carry
+            a, b = convert(*batch)
+            st, pl, aux = one_iter(st, pl, a, b)
+            imgs = {k: aux[k] for k in self._IMAGE_KEYS}
+            scalars = {k: v for k, v in aux.items() if jnp.ndim(v) == 0}
+            return (st, pl, imgs), scalars
+
+        img_shapes = jax.eval_shape(
+            lambda st, pl, s, t: {
+                k: v for k, v in one_iter(st, pl, *convert(s, t))[2].items()
+                if k in self._IMAGE_KEYS},
+            state, pools, src_u8_k[0], tar_u8_k[0])
+        imgs0 = jax.tree_util.tree_map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype), img_shapes)
+        (state, pools, imgs), scalars = jax.lax.scan(
+            body, (state, pools, imgs0), (src_u8_k, tar_u8_k))
+        return state, pools, imgs, scalars
+
     # -- EMA of the generator weights (ESRGAN-style eval copy) ---------------
 
     def ema_init(self, state: CycleState):

@@ -379,3 +379,23 @@ class TestZeroOptCLI:
         with pytest.raises(SystemExit, match="npz state backend"):
             train_cas.main(base + ["--zero-opt", "--mesh-size", "2",
                                    "--ema-decay", "0.99"])
+
+
+class TestDevicePoolStepsPerDispatch:
+    def test_device_pool_composes_with_steps_per_dispatch(self, synth,
+                                                          tmp_path,
+                                                          monkeypatch):
+        """--device-pool x --steps-per-dispatch: K stateful-pool iterations
+        per dispatch (gd_steps_pooled_u8, pool state in the scan carry)."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cyclegan
+
+        train_cyclegan.main([
+            "--net", "SRdens", "--mode", "x2", "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--num-epochs", "1", "--save-every", "1",
+            "--log-every", "2", "--pool-size", "2", "--device-pool",
+            "--steps-per-dispatch", "2",
+            "--checkpoints", str(tmp_path / "ckpt_cyc_dp_spd"),
+        ])
+        assert os.path.exists(tmp_path / "ckpt_cyc_dp_spd" /
+                              "netG_A2B_SRtask_x2_0001.npz")

@@ -795,3 +795,67 @@ class TestParallelDecode:
             data.FileListDataset(root, "train", "G2RGB", str(tmp_path)))
         got = list(data.batches(ds, 4, workers=2))
         assert sum(x[0].shape[0] for x in got) == 6
+
+
+class TestPooledStepsPerDispatch:
+    def test_gd_steps_pooled_scan_matches_sequential(self):
+        """gd_steps_pooled_u8 (K fused stateful-pool iterations per
+        dispatch) applies the same updates AND the same pool evolution as K
+        sequential gd_step_pooled calls with host-side conversion — the
+        --device-pool x --steps-per-dispatch composition."""
+        import jax.tree_util as jtu
+        from srcgan_tpu import ops
+        from srcgan_tpu.data import preprocess
+
+        rng = np.random.default_rng(13)
+        src = rng.integers(0, 256, (2, 1, 16, 16, 3), dtype=np.uint8)
+        tar = rng.integers(0, 256, (2, 1, 16, 16, 3), dtype=np.uint8)
+
+        tr = CycleGANTrainer(net="1", mode="x2", pool_size=2, remat=False)
+        st = tr.init(jax.random.PRNGKey(3))
+
+        # sequential: K gd_step_pooled calls, pool threaded on host
+        _, realB0 = preprocess.convert_pair(
+            jnp.asarray(src[0]), jnp.asarray(tar[0]), "G2RGB")
+        realA0 = ops.interpolate(realB0, scale_factor=0.5, mode="nearest")
+        pools_seq = tr.device_pool_init(st, realA0, realB0, seed=0)
+        pools_blk = jtu.tree_map(jnp.array, pools_seq)
+        st_seq = jtu.tree_map(jnp.array, st)
+        auxs = []
+        for j in range(2):
+            _, realB = preprocess.convert_pair(
+                jnp.asarray(src[j]), jnp.asarray(tar[j]), "G2RGB")
+            realA = ops.interpolate(realB, scale_factor=0.5, mode="nearest")
+            st_seq, pools_seq, aux = tr.gd_step_pooled(
+                st_seq, pools_seq, realA, realB, tr.lr, tr.d_lr)
+            auxs.append({k: np.asarray(v) for k, v in aux.items()})
+
+        st_blk, pools_out, imgs, rows = tr.gd_steps_pooled_u8(
+            jtu.tree_map(jnp.array, st), pools_blk,
+            jnp.asarray(src), jnp.asarray(tar), tr.lr, tr.d_lr)
+
+        for j in range(2):
+            for k in ("loss_G", "loss_D_A", "loss_D_B", "loss_cycle_A"):
+                np.testing.assert_allclose(float(rows[k][j]),
+                                           float(auxs[j][k]),
+                                           rtol=2e-5, atol=2e-6,
+                                           err_msg=f"step {j} {k}")
+        # pool evolution identical: same buffers, counts and carried key
+        np.testing.assert_array_equal(np.asarray(pools_out["key"]),
+                                      np.asarray(pools_seq["key"]))
+        for d in ("A", "B"):
+            assert int(pools_out[d]["n"]) == int(pools_seq[d]["n"])
+            np.testing.assert_allclose(np.asarray(pools_out[d]["buf"]),
+                                       np.asarray(pools_seq[d]["buf"]),
+                                       atol=1e-3)
+        # params: Adam eps-amplified reduction-order envelope (same story
+        # as test_gd_steps_scan_matches_sequential)
+        for a, b in zip(jtu.tree_leaves(st_blk.g.params)
+                        + jtu.tree_leaves(st_blk.d.params),
+                        jtu.tree_leaves(st_seq.g.params)
+                        + jtu.tree_leaves(st_seq.d.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+        for k in ("fake_A", "fake_B"):
+            np.testing.assert_allclose(np.asarray(imgs[k]), auxs[-1][k],
+                                       atol=1e-3)
