@@ -7,6 +7,8 @@ from __future__ import annotations
 import argparse
 import os
 
+import numpy as np
+
 
 def build_parser():
     p = argparse.ArgumentParser(description="multi-task CycleGAN training")
@@ -27,6 +29,13 @@ def build_parser():
                         "jax.random stream)")
     p.add_argument("--bf16-acts", action="store_true",
                    help="bf16 generator activations with fp32 master params")
+    p.add_argument("--mesh-size", type=int, default=0,
+                   help="GSPMD data parallelism: batch sharded over an "
+                        "N-device 'data' mesh, state replicated, gradient "
+                        "psums compiler-derived (the default instance-norm "
+                        "generators have no cross-batch statistics, so the "
+                        "sharded step is exact); pooled fakes are re-sharded "
+                        "after the host pool round-trip")
     p.add_argument("--save-every", type=int, default=5)
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--checkpoints", type=str, default="./checkpoints")
@@ -58,6 +67,19 @@ def main(argv=None):
         act_dtype=jnp.bfloat16 if args.bf16_acts else None)
     state = trainer.init(jax.random.PRNGKey(args.seed))
 
+    mesh = b_shard = None
+    if args.mesh_size > 1:
+        if args.device_pool:
+            raise SystemExit("--device-pool composes with the single-device "
+                             "iteration only")
+        if args.batch_size % args.mesh_size:
+            raise SystemExit("--mesh-size needs --batch-size divisible by "
+                             "the mesh")
+        from srcgan_tpu import parallel
+        mesh = parallel.make_mesh((args.mesh_size,), ("data",))
+        b_shard = parallel.batch_sharding(mesh)
+        state = parallel.put_replicated(state, mesh)
+
     trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)
     print(f"Starting Training Loop... ({len(trainset)} samples, multi-task)")
     logger = Logger(len(trainset), args.num_epochs)
@@ -68,7 +90,13 @@ def main(argv=None):
         g_lr, d_lr = trainer.lr_at_epoch(epoch)
         for it, (src_u8, tar_u8, _) in enumerate(
                 data.batches(trainset, args.batch_size, shuffle=True,
-                             seed=args.seed, epoch=epoch)):
+                             seed=args.seed, epoch=epoch,
+                             drop_last=mesh is not None)):
+            if mesh is not None:
+                # shard the uint8 batch BEFORE the on-device conversion so
+                # everything downstream runs sharded (as in train_cyclegan)
+                src_u8 = jax.device_put(src_u8, b_shard)
+                tar_u8 = jax.device_put(tar_u8, b_shard)
             realA, realB = preprocess.convert_pair(
                 jnp.asarray(src_u8), jnp.asarray(tar_u8), "G2RGB")
             # realB1: prepared like the reference (multi-task.py:410-415);
@@ -80,6 +108,17 @@ def main(argv=None):
                         state, realA, realB, seed=args.seed)
                 state, pool_state, aux = trainer.gd_step_pooled(
                     state, pool_state, realA, realB, g_lr, d_lr)
+            elif mesh is not None:
+                # optimize_parameters inlined so the pooled fakes get
+                # re-sharded after their host round-trip
+                state, aux = trainer.g_step(state, realA, realB, g_lr)
+                fa = trainer.fake_A_pool.query(np.asarray(aux["fake_A"]))
+                fb = trainer.fake_B_pool.query(np.asarray(aux["fake_B"]))
+                state, dm = trainer.d_step(
+                    state, aux["real_C"], realB,
+                    jax.device_put(fa, b_shard), jax.device_put(fb, b_shard),
+                    d_lr)
+                aux.update(dm)
             else:
                 state, aux = trainer.optimize_parameters(
                     state, realA, realB, realB1, g_lr, d_lr)

@@ -399,3 +399,31 @@ class TestDevicePoolStepsPerDispatch:
         ])
         assert os.path.exists(tmp_path / "ckpt_cyc_dp_spd" /
                               "netG_A2B_SRtask_x2_0001.npz")
+
+
+class TestMultiTaskMesh:
+    def test_multitask_mesh_size(self, tmp_path, monkeypatch):
+        """--mesh-size on the multi-task driver: GSPMD batch sharding with
+        the host-pool fakes re-sharded after their round-trip."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_multitask
+
+        # the multi-task protocol needs the Sat2Aerx2 layout (src at half
+        # the target resolution: real_C = G_C(realA) must land on realB)
+        d = tmp_path / "ds_mt_dp"
+        data.make_synthetic_dataset(str(d / "Sat2Aerx2"), n_train=4,
+                                    n_val=1, n_test=1, size=32, scale=2)
+        train_multitask.main([
+            "--mode", "x2", "--root", "Sat2Aerx2", "--data-dir", str(d),
+            "--ngf", "8", "--netG", "resnet_6blocks",
+            "--num-epochs", "1", "--save-every", "1", "--log-every", "2",
+            "--mesh-size", "2", "--batch-size", "2",
+            "--checkpoints", str(tmp_path / "ckpt_mt_dp2"),
+        ])
+        assert os.path.exists(tmp_path / "ckpt_mt_dp2" /
+                              "netG_G_A_MTtask_x2_0001.npz")
+        with pytest.raises(SystemExit, match="divisible"):
+            train_multitask.main([
+                "--mode", "x2", "--root", "Sat2Aerx2", "--data-dir", str(d),
+                "--mesh-size", "2", "--batch-size", "3",
+                "--checkpoints", str(tmp_path / "ckpt_mt_bad")])
