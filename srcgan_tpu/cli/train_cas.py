@@ -51,7 +51,8 @@ def build_parser():
                         "grads reduce-scattered, Adam moments and update on "
                         "1/N-th per chip, updated params all-gathered (same "
                         "math as plain DP, 1/N optimizer HBM); composes with "
-                        "--steps-per-dispatch and --bf16-acts")
+                        "--steps-per-dispatch, --bf16-acts and --orbax-dir "
+                        "(per-shard moment saves, gather-free restore)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize network activations (jax.checkpoint) "
@@ -214,14 +215,16 @@ def _run(args, preempted):
         if args.mesh_size <= 1 or args.space_size > 1:
             raise SystemExit("--zero-opt requires a 1-D --mesh-size data "
                              "mesh (no --space-size)")
-        if args.orbax_dir or args.ema_decay > 0 or args.grad_accum > 1:
-            raise SystemExit("--zero-opt composes with the npz state backend "
-                             "and the plain DP loop (not --orbax-dir/"
-                             "--ema-decay/--grad-accum)")
+        if args.ema_decay > 0 or args.grad_accum > 1:
+            raise SystemExit("--zero-opt composes with the plain DP loop "
+                             "(not --ema-decay/--grad-accum)")
         mesh = parallel.make_mesh((args.mesh_size,), ("data",))
         state = parallel.zero1_init(trainer, jax.random.PRNGKey(args.seed),
                                     mesh)
-        if args.resume and os.path.exists(state_path):
+        # orbax composes naturally: the zero state IS a sharded target, so
+        # saves are per-shard and restore places moments sharded with no
+        # gather (the block below restores into this state's shardings)
+        if args.resume and not args.orbax_dir and os.path.exists(state_path):
             raw, extra = load_train_state(state_path, jax.device_get(state))
             state = parallel.zero1_put(raw, mesh)
             start_epoch = int(extra.get("epoch", 0)) + 1

@@ -366,6 +366,25 @@ class TestZeroOptCLI:
         assert os.path.exists(
             tmp_path / "ckpt_zero_spd" / "ESPCN_A2C_x2_0001.npz")
 
+
+    def test_zero_opt_composes_with_orbax(self, synth, tmp_path, monkeypatch):
+        """--zero-opt x --orbax-dir: per-shard saves of the sharded moments,
+        gather-free sharded restore on --resume."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cas
+
+        ck = str(tmp_path / "ckpt_zero_ox")
+        argv = ["--SRModel", "ESPCN", "--CModel", "ResDeconv", "--up", "2",
+                "--root", "Sat2Aerx1", "--data-dir", synth,
+                "--save-every", "1", "--log-every", "2",
+                "--mesh-size", "2", "--zero-opt", "--batch-size", "2",
+                "--orbax-dir", str(tmp_path / "ox_zero"),
+                "--checkpoints", ck]
+        train_cas.main(argv + ["--num-epochs", "1"])
+        assert os.path.exists(os.path.join(ck, "ESPCN_A2C_x2_0001.npz"))
+        train_cas.main(argv + ["--num-epochs", "2", "--resume"])
+        assert os.path.exists(os.path.join(ck, "ESPCN_A2C_x2_0002.npz"))
+
     def test_zero_opt_rejects_bad_compositions(self, synth, tmp_path,
                                                monkeypatch):
         monkeypatch.chdir(tmp_path)

@@ -72,3 +72,34 @@ def test_sharded_restore_lands_sharded(tmp_path):
     like_leaf = jax.tree_util.tree_leaves(like)[0]
     assert leaf.sharding.is_equivalent_to(like_leaf.sharding, leaf.ndim), (
         leaf.sharding, like_leaf.sharding)
+
+
+def test_zero1_state_round_trips_sharded(tmp_path):
+    """ZeRO-1 state through orbax: the (D, chunk) row-sharded Adam moments
+    save per-shard and restore INTO their sharded layout (no gather) —
+    the --zero-opt x --orbax-dir production composition."""
+    tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+    mesh = parallel.make_mesh()
+    st = parallel.zero1_init(tr, jax.random.PRNGKey(0), mesh)
+    step = parallel.make_cas_zero1_step(tr, mesh)
+    rng = np.random.default_rng(0)
+    tar = jnp.asarray(rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32))
+    src = jnp.asarray((np.asarray(tar) @ np.array(
+        [0.2125, 0.7154, 0.0721], np.float32))[..., None])
+    st, _ = step(st, parallel.put_batch(src, mesh),
+                 parallel.put_batch(tar, mesh), 1e-3)
+
+    d = str(tmp_path / "ckz")
+    save_train_state_orbax(d, 1, st, {"epoch": 1})
+    like = parallel.zero1_init(tr, jax.random.PRNGKey(1), mesh)
+    got, extra = load_train_state_orbax(d, like)
+    assert extra == {"epoch": 1}
+    tree_equal(st, got)
+    # moments land physically row-sharded again
+    mu, _ = got.sr.opt_state
+    leaf = jax.tree_util.tree_leaves(mu)[0]
+    assert all(s.data.shape[0] == 1 for s in leaf.addressable_shards)
+    # and the restored state takes another step
+    st2, m2 = step(got, parallel.put_batch(src, mesh),
+                   parallel.put_batch(tar, mesh), 1e-3)
+    assert np.isfinite(float(m2["loss_SR"]))
