@@ -71,10 +71,21 @@ class RDDBNet(nn.Module):
 
     def forward(self, p, x, train):
         m = self.mods.layers
-        fea = m["conv_first"].fwd(p["conv_first"], x)
-        trunk = m["trunk_conv"].fwd(p["trunk_conv"],
-                                    m["trunk"].fwd(p["trunk"], fea, train))
-        fea = fea + trunk
+        fea = self.head(p, x)
+        return self.tail(p, fea, m["trunk"].fwd(p["trunk"], fea, train),
+                         train)
+
+    def head(self, p, x):
+        """conv_first — the pre-trunk stem (split out so the trunk-pipeline
+        parallel path, parallel/pipeline.py, shares the exact stem/tail
+        code with forward)."""
+        return self.mods.layers["conv_first"].fwd(p["conv_first"], x)
+
+    def tail(self, p, fea, trunk_out, train=False):
+        """trunk_conv + global residual + upscale tail (everything after
+        the RRDB chain in forward)."""
+        m = self.mods.layers
+        fea = fea + m["trunk_conv"].fwd(p["trunk_conv"], trunk_out)
         if self.upscale_factor == 1:
             return m["conv_last"].fwd(p["conv_last"], fea)
         if PHASEFOLD_TAIL:

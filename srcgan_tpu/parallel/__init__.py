@@ -28,7 +28,11 @@ from srcgan_tpu.parallel.tp import (
     tp_param_shardings,
     tp_shard_params,
 )
-from srcgan_tpu.parallel.pipeline import make_cascade_pipeline_infer
+from srcgan_tpu.parallel.pipeline import (
+    make_cascade_pipeline_infer,
+    make_rddb_trunk_pipeline_infer,
+    stack_trunk_params,
+)
 
 __all__ = [
     "batch_sharding", "make_mesh", "pad_batch_to", "put_batch",
@@ -39,4 +43,5 @@ __all__ = [
     "zero1_opt_bytes_per_device", "zero1_put",
     "make_cas_tp_step", "make_tp_infer", "tp_param_shardings",
     "tp_shard_params", "make_cascade_pipeline_infer",
+    "make_rddb_trunk_pipeline_infer", "stack_trunk_params",
 ]

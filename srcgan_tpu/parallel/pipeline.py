@@ -88,3 +88,98 @@ def make_cascade_pipeline_infer(stage0_fn, stage1_fn, mesh: Mesh,
         return outs[1, 1:]
 
     return infer
+
+
+def stack_trunk_params(trunk_params):
+    """Stack a Sequential-of-identical-blocks param tree ({'0': t, '1': t,
+    ...}) into one tree with a leading stage axis — the layout pipeline
+    stages shard over."""
+    blocks = [trunk_params[str(i)] for i in range(len(trunk_params))]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def make_rddb_trunk_pipeline_infer(model, mesh: Mesh, axis: str = "pipe"):
+    """Pipeline the RDDB trunk itself: RRDB block s lives on mesh position s.
+
+    The homogeneous-stage formulation of pipeline parallelism (the one that
+    scales: every stage runs the SAME block function on ITS slice of a
+    stacked parameter tree, so the per-device program is stage-independent
+    except for the edge work):
+
+        tick t:  every stage applies its RRDB to its current activation;
+                 stage 0 additionally stems microbatch t (conv_first);
+                 stage S-1 additionally finishes microbatch t-S+1
+                 (trunk_conv + global residual + upscale tail);
+                 (fea, h) ride the ppermute chain one stage forward.
+
+    T microbatches drain in T + S - 1 ticks (bubble (S-1)/(T+S-1)).  The
+    mesh's ``axis`` size must equal the trunk depth (model nb).  Stage
+    params come sharded P(axis) over ``stack_trunk_params``' leading dim,
+    so each device physically holds only its own block — the capacity
+    story: a trunk deeper than one chip's HBM streams through S chips.
+
+    Returns infer(params, xq): params the model's ordinary tree (the
+    stacked/sharded split happens inside), xq a (T, m, H, W, C) microbatch
+    queue; output (T, m, uH, uW, C_out) — equal to model.fwd per
+    microbatch (tested).  Wasted work per tick: one conv_first everywhere
+    (selected by stage, ~1/15th of an RRDB) and the drain ticks' clamped
+    re-stem — both documented costs of the branch-free SPMD formulation.
+    """
+    s_stages = mesh.shape[axis]
+    rrdb = model.mods.layers["trunk"].layers[0]
+    p_axis = P(axis)
+    rep = P()
+
+    def shard_fn(head_tail_params, stage_params, xq):
+        t_total = xq.shape[0]
+        stage = jax.lax.axis_index(axis)
+        p_mine = jax.tree_util.tree_map(lambda a: a[0], stage_params)
+        fea_sd = jax.eval_shape(model.head, head_tail_params, xq[0])
+        out_sd = jax.eval_shape(
+            lambda p, f, t: model.tail(p, f, t), head_tail_params,
+            jax.ShapeDtypeStruct(fea_sd.shape, fea_sd.dtype),
+            jax.ShapeDtypeStruct(fea_sd.shape, fea_sd.dtype))
+        perm = [(i, i + 1) for i in range(s_stages - 1)]
+
+        def tick(carry, t):
+            fea_c, h_c = carry
+            x_t = jax.lax.dynamic_index_in_dim(
+                xq, jnp.minimum(t, t_total - 1), 0, keepdims=False)
+            fea0 = model.head(head_tail_params, x_t)
+            fea = jnp.where(stage == 0, fea0, fea_c)
+            h = rrdb.fwd(p_mine, jnp.where(stage == 0, fea0, h_c))
+
+            def finish(_):
+                return model.tail(head_tail_params, fea, h)
+
+            out = jax.lax.cond(
+                stage == s_stages - 1, finish,
+                lambda _: jnp.zeros(out_sd.shape, out_sd.dtype), None)
+            fea_n = jax.lax.ppermute(fea, axis, perm)
+            h_n = jax.lax.ppermute(h, axis, perm)
+            return (fea_n, h_n), out
+
+        zero = jnp.zeros(fea_sd.shape, fea_sd.dtype)
+        _, outs = jax.lax.scan(tick, (zero, zero),
+                               jnp.arange(t_total + s_stages - 1))
+        return outs[None]
+
+    sharded = shard_map(shard_fn, mesh=mesh,
+                        in_specs=(rep, p_axis, rep),
+                        out_specs=P(axis),
+                        check_vma=False)
+
+    @jax.jit
+    def infer(params, xq):
+        from srcgan_tpu.models import rddb as rddb_mod
+
+        stacked = stack_trunk_params(params["trunk"])
+        # head/tail params replicate; the trunk rides ONLY the stacked
+        # sharded tree, so each device holds 1/S-th of the trunk weights
+        head_tail = {k: v for k, v in params.items() if k != "trunk"}
+        with rddb_mod.no_pallas_tail():
+            outs = sharded(head_tail, stacked, xq)  # (S, T+S-1, m, ...)
+        # the last stage's rows, skipping its S-1 fill ticks
+        return outs[s_stages - 1, s_stages - 1:]
+
+    return infer

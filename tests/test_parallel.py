@@ -544,3 +544,39 @@ class TestZero1StepsU8:
         mu, nu = st.sr.opt_state
         for leaf in jax.tree_util.tree_leaves(mu):
             assert leaf.dtype == jnp.float32
+
+
+class TestTrunkPipeline:
+    def test_trunk_pipeline_matches_fwd(self):
+        """Homogeneous-stage pipeline: RRDB block s on mesh position s,
+        microbatches advancing one stage per tick over ppermute, last stage
+        finishing with the shared tail — must equal model.fwd per
+        microbatch.  Exercises fill ticks (S-1 zero rows dropped), the
+        stacked-sharded stage params (each device holds 1/S of the trunk),
+        and the stage-0 stem / stage-(S-1) tail edge work."""
+        from srcgan_tpu.models import rddb as rddb_mod
+
+        nb = 3
+        mesh = parallel.make_mesh((nb,), ("pipe",),
+                                  devices=jax.devices()[:nb])
+        m = models.RDDBNet(1, 1, 4, nf=16, nb=nb)
+        p = m.init(jax.random.PRNGKey(0))
+        T, mb, s = 4, 1, 8
+        xq = jnp.asarray(np.random.default_rng(5).uniform(
+            0, 1, (T, mb, s, s, 1)).astype(np.float32))
+
+        infer = parallel.make_rddb_trunk_pipeline_infer(m, mesh)
+        got = infer(p, xq)
+
+        with rddb_mod.no_pallas_tail():
+            ref = jnp.stack([m.fwd(p, xq[t]) for t in range(T)])
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_stack_trunk_params(self):
+        m = models.RDDBNet(1, 1, 2, nf=16, nb=3)
+        p = m.init(jax.random.PRNGKey(1))
+        stacked = parallel.stack_trunk_params(p["trunk"])
+        leaf = jax.tree_util.tree_leaves(stacked)[0]
+        assert leaf.shape[0] == 3
