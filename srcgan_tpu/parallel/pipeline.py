@@ -98,6 +98,22 @@ def stack_trunk_params(trunk_params):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
 
 
+def place_trunk_pipeline_params(params, mesh: Mesh, axis: str = "pipe"):
+    """Physically place an RDDB param tree for the trunk pipeline: returns
+    (head_tail replicated, trunk stacked and row-sharded over ``axis``) —
+    after this, each device HOLDS only its own block's weights (the true
+    1/S residency; passing the plain tree to infer instead keeps a
+    replicated copy alive as the jit input)."""
+    from jax.sharding import NamedSharding
+
+    stacked = jax.device_put(stack_trunk_params(params["trunk"]),
+                             NamedSharding(mesh, P(axis)))
+    head_tail = jax.device_put(
+        {k: v for k, v in params.items() if k != "trunk"},
+        NamedSharding(mesh, P()))
+    return head_tail, stacked
+
+
 def make_rddb_trunk_pipeline_infer(model, mesh: Mesh, axis: str = "pipe"):
     """Pipeline the RDDB trunk itself: RRDB block s lives on mesh position s.
 
@@ -114,9 +130,10 @@ def make_rddb_trunk_pipeline_infer(model, mesh: Mesh, axis: str = "pipe"):
 
     T microbatches drain in T + S - 1 ticks (bubble (S-1)/(T+S-1)).  The
     mesh's ``axis`` size must equal the trunk depth (model nb).  Stage
-    params come sharded P(axis) over ``stack_trunk_params``' leading dim,
-    so each device physically holds only its own block — the capacity
-    story: a trunk deeper than one chip's HBM streams through S chips.
+    params ride sharded P(axis) over ``stack_trunk_params``' leading dim,
+    so each stage reads only its own block; for the capacity story — a
+    trunk deeper than one chip's HBM streaming through S chips — pre-place
+    with ``place_trunk_pipeline_params`` so no replicated copy stays live.
 
     Returns infer(params, xq): params the model's ordinary tree (the
     stacked/sharded split happens inside), xq a (T, m, H, W, C) microbatch
@@ -170,16 +187,24 @@ def make_rddb_trunk_pipeline_infer(model, mesh: Mesh, axis: str = "pipe"):
                         check_vma=False)
 
     @jax.jit
-    def infer(params, xq):
+    def _run(head_tail, stacked, xq):
         from srcgan_tpu.models import rddb as rddb_mod
 
-        stacked = stack_trunk_params(params["trunk"])
-        # head/tail params replicate; the trunk rides ONLY the stacked
-        # sharded tree, so each device holds 1/S-th of the trunk weights
-        head_tail = {k: v for k, v in params.items() if k != "trunk"}
         with rddb_mod.no_pallas_tail():
             outs = sharded(head_tail, stacked, xq)  # (S, T+S-1, m, ...)
         # the last stage's rows, skipping its S-1 fill ticks
         return outs[s_stages - 1, s_stages - 1:]
+
+    def infer(params, xq):
+        """params: the model's plain tree (stacked/split inside — the
+        replicated jit input keeps a full copy alive), OR the
+        (head_tail, stacked) pair from place_trunk_pipeline_params for
+        true 1/S per-device trunk residency."""
+        if isinstance(params, tuple):
+            head_tail, stacked = params
+        else:
+            stacked = stack_trunk_params(params["trunk"])
+            head_tail = {k: v for k, v in params.items() if k != "trunk"}
+        return _run(head_tail, stacked, xq)
 
     return infer

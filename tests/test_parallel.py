@@ -580,3 +580,28 @@ class TestTrunkPipeline:
         stacked = parallel.stack_trunk_params(p["trunk"])
         leaf = jax.tree_util.tree_leaves(stacked)[0]
         assert leaf.shape[0] == 3
+
+    def test_trunk_pipeline_placed_params(self):
+        """place_trunk_pipeline_params: the stacked trunk physically lands
+        row-sharded (one block per device — true 1/S residency) and the
+        placed pair produces the same output as the plain tree."""
+        nb = 3
+        mesh = parallel.make_mesh((nb,), ("pipe",),
+                                  devices=jax.devices()[:nb])
+        m = models.RDDBNet(1, 1, 2, nf=16, nb=nb)
+        p = m.init(jax.random.PRNGKey(2))
+        xq = jnp.asarray(np.random.default_rng(6).uniform(
+            0, 1, (3, 1, 8, 8, 1)).astype(np.float32))
+
+        placed = parallel.place_trunk_pipeline_params(p, mesh)
+        _, stacked = placed
+        for leaf in jax.tree_util.tree_leaves(stacked):
+            assert leaf.shape[0] == nb
+            shards = leaf.addressable_shards
+            assert len(shards) == nb
+            assert all(s.data.shape[0] == 1 for s in shards)
+
+        infer = parallel.make_rddb_trunk_pipeline_infer(m, mesh)
+        np.testing.assert_allclose(np.asarray(infer(placed, xq)),
+                                   np.asarray(infer(p, xq)),
+                                   atol=1e-6, rtol=1e-6)
