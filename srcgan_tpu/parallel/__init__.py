@@ -31,6 +31,7 @@ from srcgan_tpu.parallel.tp import (
 from srcgan_tpu.parallel.pipeline import (
     make_cascade_pipeline_infer,
     make_rddb_trunk_pipeline_infer,
+    make_trunk_pipeline_train,
     place_trunk_pipeline_params,
     stack_trunk_params,
 )
@@ -44,6 +45,6 @@ __all__ = [
     "zero1_opt_bytes_per_device", "zero1_put",
     "make_cas_tp_step", "make_tp_infer", "tp_param_shardings",
     "tp_shard_params", "make_cascade_pipeline_infer",
-    "make_rddb_trunk_pipeline_infer", "place_trunk_pipeline_params",
-    "stack_trunk_params",
+    "make_rddb_trunk_pipeline_infer", "make_trunk_pipeline_train",
+    "place_trunk_pipeline_params", "stack_trunk_params",
 ]

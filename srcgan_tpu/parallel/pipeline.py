@@ -24,6 +24,8 @@ rotating every stage's activation each tick.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -114,6 +116,48 @@ def place_trunk_pipeline_params(params, mesh: Mesh, axis: str = "pipe"):
     return head_tail, stacked
 
 
+def _trunk_tick_scan(model, rrdb, axis, s_stages, head_tail_params, p_mine,
+                     xq):
+    """Per-device pipelined tick loop (shared by the infer and train forms):
+    returns THIS device's (T+S-1, m, ...) per-tick output rows — zeros
+    everywhere except on stage S-1, whose rows S-1.. are the finished
+    microbatches.  Fully differentiable: reverse-mode through the scan
+    transposes every ppermute (inverted ring), which IS the backward
+    pipeline — cotangents drain stage S-1 -> 0 exactly as GPipe schedules
+    them."""
+    t_total = xq.shape[0]
+    stage = jax.lax.axis_index(axis)
+    fea_sd = jax.eval_shape(model.head, head_tail_params, xq[0])
+    out_sd = jax.eval_shape(
+        lambda p, f, t: model.tail(p, f, t), head_tail_params,
+        jax.ShapeDtypeStruct(fea_sd.shape, fea_sd.dtype),
+        jax.ShapeDtypeStruct(fea_sd.shape, fea_sd.dtype))
+    perm = [(i, i + 1) for i in range(s_stages - 1)]
+
+    def tick(carry, t):
+        fea_c, h_c = carry
+        x_t = jax.lax.dynamic_index_in_dim(
+            xq, jnp.minimum(t, t_total - 1), 0, keepdims=False)
+        fea0 = model.head(head_tail_params, x_t)
+        fea = jnp.where(stage == 0, fea0, fea_c)
+        h = rrdb.fwd(p_mine, jnp.where(stage == 0, fea0, h_c))
+
+        def finish(_):
+            return model.tail(head_tail_params, fea, h)
+
+        out = jax.lax.cond(
+            stage == s_stages - 1, finish,
+            lambda _: jnp.zeros(out_sd.shape, out_sd.dtype), None)
+        fea_n = jax.lax.ppermute(fea, axis, perm)
+        h_n = jax.lax.ppermute(h, axis, perm)
+        return (fea_n, h_n), out
+
+    zero = jnp.zeros(fea_sd.shape, fea_sd.dtype)
+    _, outs = jax.lax.scan(tick, (zero, zero),
+                           jnp.arange(t_total + s_stages - 1))
+    return outs
+
+
 def make_rddb_trunk_pipeline_infer(model, mesh: Mesh, axis: str = "pipe"):
     """Pipeline the RDDB trunk itself: RRDB block s lives on mesh position s.
 
@@ -148,37 +192,9 @@ def make_rddb_trunk_pipeline_infer(model, mesh: Mesh, axis: str = "pipe"):
     rep = P()
 
     def shard_fn(head_tail_params, stage_params, xq):
-        t_total = xq.shape[0]
-        stage = jax.lax.axis_index(axis)
         p_mine = jax.tree_util.tree_map(lambda a: a[0], stage_params)
-        fea_sd = jax.eval_shape(model.head, head_tail_params, xq[0])
-        out_sd = jax.eval_shape(
-            lambda p, f, t: model.tail(p, f, t), head_tail_params,
-            jax.ShapeDtypeStruct(fea_sd.shape, fea_sd.dtype),
-            jax.ShapeDtypeStruct(fea_sd.shape, fea_sd.dtype))
-        perm = [(i, i + 1) for i in range(s_stages - 1)]
-
-        def tick(carry, t):
-            fea_c, h_c = carry
-            x_t = jax.lax.dynamic_index_in_dim(
-                xq, jnp.minimum(t, t_total - 1), 0, keepdims=False)
-            fea0 = model.head(head_tail_params, x_t)
-            fea = jnp.where(stage == 0, fea0, fea_c)
-            h = rrdb.fwd(p_mine, jnp.where(stage == 0, fea0, h_c))
-
-            def finish(_):
-                return model.tail(head_tail_params, fea, h)
-
-            out = jax.lax.cond(
-                stage == s_stages - 1, finish,
-                lambda _: jnp.zeros(out_sd.shape, out_sd.dtype), None)
-            fea_n = jax.lax.ppermute(fea, axis, perm)
-            h_n = jax.lax.ppermute(h, axis, perm)
-            return (fea_n, h_n), out
-
-        zero = jnp.zeros(fea_sd.shape, fea_sd.dtype)
-        _, outs = jax.lax.scan(tick, (zero, zero),
-                               jnp.arange(t_total + s_stages - 1))
+        outs = _trunk_tick_scan(model, rrdb, axis, s_stages,
+                                head_tail_params, p_mine, xq)
         return outs[None]
 
     sharded = shard_map(shard_fn, mesh=mesh,
@@ -208,3 +224,106 @@ def make_rddb_trunk_pipeline_infer(model, mesh: Mesh, axis: str = "pipe"):
         return _run(head_tail, stacked, xq)
 
     return infer
+
+
+def make_trunk_pipeline_train(model, mesh: Mesh, axis: str = "pipe"):
+    """GPipe training for the trunk pipeline: microbatch-accumulated L1
+    loss, backward through the ring, per-stage grad + Adam residency.
+
+    The backward pass is NOT hand-scheduled: reverse-mode through
+    ``_trunk_tick_scan`` transposes each ``ppermute`` into the inverted
+    ring, so cotangents flow stage S-1 -> 0 tick-reversed — the textbook
+    GPipe backward schedule, derived by autodiff (the reference's
+    trainCas.py:133-153 backward is single-device; this is its
+    pipeline-parallel form).  Stage s's RRDB gradient is produced and
+    CONSUMED on device s: grads and Adam moments for the stacked trunk
+    stay sharded P(axis) end-to-end (1/S optimizer residency, the PP
+    cousin of ZeRO-1); head/tail grads are psum'd over the ring and
+    updated replicated.
+
+    Returns (init_opt, step, grads):
+      init_opt(pair) -> opt_state            (moments placed like params)
+      step(pair, opt_state, xq, yq, lr) -> (pair, opt_state, loss)
+      grads(pair, xq, yq) -> (loss, g_head_tail, g_stacked)   (jitted; the
+        raw ring gradients, exposed so equivalence can be asserted on the
+        grads themselves — Adam's eps-normalization amplifies ~1e-7
+        reduction-order noise on near-zero grads into 1e-3-relative param
+        deltas, so updated-param comparisons are the wrong test surface)
+    with pair = place_trunk_pipeline_params(params, mesh), xq the
+    (T, m, H, W, C) microbatch queue and yq the matching (T, m, uH, uW, C)
+    targets (both replicated); loss = mean |pred - y| over all microbatches,
+    equal to the unsharded loss (equivalence-tested incl. gradients).
+    """
+    import optax
+
+    s_stages = mesh.shape[axis]
+    rrdb = model.mods.layers["trunk"].layers[0]
+
+    def shard_fn(head_tail, stage_params, xq, yq):
+        stage = jax.lax.axis_index(axis)
+
+        def local_loss(ht, sp):
+            p_mine = jax.tree_util.tree_map(lambda a: a[0], sp)
+            outs = _trunk_tick_scan(model, rrdb, axis, s_stages, ht,
+                                    p_mine, xq)
+            # rows S-1.. of the last stage are microbatches 0..T-1; other
+            # stages' rows are zeros — mask their (meaningless) loss out.
+            # UNREDUCED on purpose: psum-ing here would be differentiated
+            # too, and psum's transpose is psum — the cotangent would
+            # arrive as S instead of 1, scaling every gradient by the
+            # stage count (measured 3x at S=3).  The cross-stage reverse
+            # flow needs no collective help: the mask zero-seeds every
+            # stage but S-1, and the transposed ppermutes carry S-1's
+            # cotangents backward around the ring.
+            l = jnp.mean(jnp.abs(outs[s_stages - 1:] - yq))
+            return jnp.where(stage == s_stages - 1, l, 0.0)
+
+        loss, (g_ht, g_sp) = jax.value_and_grad(
+            local_loss, argnums=(0, 1))(head_tail, stage_params)
+        # head/tail params act on every stage's program: total grad is the
+        # sum of each device's path contributions.  Stage grads are already
+        # complete locally (their cotangents arrived via the transposed
+        # ring).  The loss psum just replicates stage S-1's value.
+        loss = jax.lax.psum(loss, axis)
+        g_ht = jax.lax.psum(g_ht, axis)
+        return loss, g_ht, g_sp
+
+    sharded = shard_map(shard_fn, mesh=mesh,
+                        in_specs=(P(), P(axis), P(), P()),
+                        out_specs=(P(), P(), P(axis)),
+                        check_vma=False)
+
+    adam = optax.scale_by_adam()
+
+    @jax.jit
+    def grads(pair, xq, yq):
+        from srcgan_tpu.models import rddb as rddb_mod
+
+        head_tail, stacked = pair
+        with rddb_mod.no_pallas_tail():
+            return sharded(head_tail, stacked, xq, yq)
+
+    def init_opt(pair):
+        head_tail, stacked = pair
+        # zeros_like preserves each leaf's sharding: trunk moments land
+        # P(axis) (1/S per device), head/tail moments replicated.
+        return adam.init({"ht": head_tail, "tr": stacked})
+
+    # NOT donated: device_put-to-replicated shares the already-resident
+    # device-0 buffer with the caller's original tree, so donating the pair
+    # would delete the user's params out from under them on the first call.
+    @jax.jit
+    def step(pair, opt_state, xq, yq, lr):
+        from srcgan_tpu.models import rddb as rddb_mod
+
+        head_tail, stacked = pair
+        with rddb_mod.no_pallas_tail():
+            loss, g_ht, g_sp = sharded(head_tail, stacked, xq, yq)
+        updates, opt_state = adam.update({"ht": g_ht, "tr": g_sp}, opt_state)
+        head_tail = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, head_tail, updates["ht"])
+        stacked = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, stacked, updates["tr"])
+        return (head_tail, stacked), opt_state, loss
+
+    return init_opt, step, grads

@@ -605,3 +605,59 @@ class TestTrunkPipeline:
         np.testing.assert_allclose(np.asarray(infer(placed, xq)),
                                    np.asarray(infer(p, xq)),
                                    atol=1e-6, rtol=1e-6)
+
+    def test_trunk_pipeline_train_matches_unsharded(self):
+        """GPipe training through the trunk pipeline: the ring gradients
+        (autodiff transposing the ppermute chain — the backward pipeline)
+        must equal the unsharded gradients of the L1 loss over the
+        concatenated microbatches.  Gradients, not Adam-updated params, are
+        the comparison surface: Adam's eps-normalization turns ~1e-7
+        reduction-order noise on near-zero grads into ~1e-3-relative param
+        deltas (see CLAUDE.md round-3 lessons).  Also pins the residency
+        story: trunk grads and Adam moments stay row-sharded P('pipe')
+        (1/S per device)."""
+        nb = 3
+        mesh = parallel.make_mesh((nb,), ("pipe",),
+                                  devices=jax.devices()[:nb])
+        m = models.RDDBNet(1, 1, 2, nf=16, nb=nb)
+        p = m.init(jax.random.PRNGKey(3))
+        rng = np.random.default_rng(7)
+        xq = jnp.asarray(rng.uniform(0, 1, (4, 1, 8, 8, 1)
+                                     ).astype(np.float32))
+        yq = jnp.asarray(rng.uniform(0, 1, (4, 1, 16, 16, 1)
+                                     ).astype(np.float32))
+
+        init_opt, step, grads = parallel.make_trunk_pipeline_train(m, mesh)
+        pair = parallel.place_trunk_pipeline_params(p, mesh)
+        loss, g_ht, g_sp = grads(pair, xq, yq)
+
+        # unsharded reference gradients
+        def ref_loss(params):
+            pred = m.fwd(params, xq.reshape(-1, 8, 8, 1))
+            return jnp.mean(jnp.abs(pred - yq.reshape(-1, 16, 16, 1)))
+
+        ref_l, g_ref = jax.value_and_grad(ref_loss)(p)
+        np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-6)
+        tree_allclose(g_ht,
+                      {k: v for k, v in g_ref.items() if k != "trunk"},
+                      atol=1e-6)
+        tree_allclose(g_sp, parallel.stack_trunk_params(g_ref["trunk"]),
+                      atol=1e-6)
+        # stage grads are row-sharded: produced AND resident on their stage
+        for leaf in jax.tree_util.tree_leaves(g_sp):
+            assert all(s.data.shape[0] == 1 for s in leaf.addressable_shards)
+
+        # a few Adam steps: moments land sharded like the params, loss
+        # decreases, and everything stays row-sharded through the updates.
+        opt = init_opt(pair)
+        for leaf in jax.tree_util.tree_leaves(opt.mu["tr"]):
+            assert all(s.data.shape[0] == 1 for s in leaf.addressable_shards)
+        l0 = None
+        for _ in range(3):
+            pair, opt, l = step(pair, opt, xq, yq, 1e-3)
+            l0 = float(l) if l0 is None else l0
+        assert float(l) < l0
+        for leaf in jax.tree_util.tree_leaves(pair[1]):
+            assert all(s.data.shape[0] == 1 for s in leaf.addressable_shards)
+        for leaf in jax.tree_util.tree_leaves(opt.mu["tr"]):
+            assert all(s.data.shape[0] == 1 for s in leaf.addressable_shards)
