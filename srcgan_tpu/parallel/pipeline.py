@@ -226,7 +226,8 @@ def make_rddb_trunk_pipeline_infer(model, mesh: Mesh, axis: str = "pipe"):
     return infer
 
 
-def make_trunk_pipeline_train(model, mesh: Mesh, axis: str = "pipe"):
+def make_trunk_pipeline_train(model, mesh: Mesh, axis: str = "pipe",
+                              data_axis: str | None = None):
     """GPipe training for the trunk pipeline: microbatch-accumulated L1
     loss, backward through the ring, per-stage grad + Adam residency.
 
@@ -253,6 +254,13 @@ def make_trunk_pipeline_train(model, mesh: Mesh, axis: str = "pipe"):
     (T, m, H, W, C) microbatch queue and yq the matching (T, m, uH, uW, C)
     targets (both replicated); loss = mean |pred - y| over all microbatches,
     equal to the unsharded loss (equivalence-tested incl. gradients).
+
+    ``data_axis`` composes data parallelism INTO the ring (PP x DP on a
+    2-D mesh): the microbatch sample dim m shards over ``data_axis``, each
+    data replica of the ring trains on its slice, and grads/loss pmean
+    across ``data_axis`` — so the two classic scale-out directions (deeper
+    trunk -> more 'pipe', bigger batch -> more 'data') compose in one
+    program.  m must divide the data-axis size.
     """
     import optax
 
@@ -286,10 +294,17 @@ def make_trunk_pipeline_train(model, mesh: Mesh, axis: str = "pipe"):
         # ring).  The loss psum just replicates stage S-1's value.
         loss = jax.lax.psum(loss, axis)
         g_ht = jax.lax.psum(g_ht, axis)
+        if data_axis is not None:
+            # PP x DP: each data replica saw 1/D of the samples — average
+            # its per-sample-mean loss and grads across the replicas.
+            loss = jax.lax.pmean(loss, data_axis)
+            g_ht = jax.lax.pmean(g_ht, data_axis)
+            g_sp = jax.lax.pmean(g_sp, data_axis)
         return loss, g_ht, g_sp
 
+    batch_spec = P() if data_axis is None else P(None, data_axis)
     sharded = shard_map(shard_fn, mesh=mesh,
-                        in_specs=(P(), P(axis), P(), P()),
+                        in_specs=(P(), P(axis), batch_spec, batch_spec),
                         out_specs=(P(), P(), P(axis)),
                         check_vma=False)
 

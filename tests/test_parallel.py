@@ -661,3 +661,36 @@ class TestTrunkPipeline:
             assert all(s.data.shape[0] == 1 for s in leaf.addressable_shards)
         for leaf in jax.tree_util.tree_leaves(opt.mu["tr"]):
             assert all(s.data.shape[0] == 1 for s in leaf.addressable_shards)
+
+    def test_trunk_pipeline_train_composes_with_dp(self):
+        """PP x DP on a 2-D (pipe x data) mesh: microbatch samples shard
+        over 'data', each data replica runs its own ring, grads pmean
+        across replicas — must equal the unsharded gradients on the full
+        batch."""
+        nb, dp = 3, 2
+        mesh = parallel.make_mesh((nb, dp), ("pipe", "data"),
+                                  devices=jax.devices()[:nb * dp])
+        m = models.RDDBNet(1, 1, 2, nf=16, nb=nb)
+        p = m.init(jax.random.PRNGKey(4))
+        rng = np.random.default_rng(9)
+        xq = jnp.asarray(rng.uniform(0, 1, (3, 2, 8, 8, 1)
+                                     ).astype(np.float32))
+        yq = jnp.asarray(rng.uniform(0, 1, (3, 2, 16, 16, 1)
+                                     ).astype(np.float32))
+
+        _, _, grads = parallel.make_trunk_pipeline_train(
+            m, mesh, data_axis="data")
+        pair = parallel.place_trunk_pipeline_params(p, mesh)
+        loss, g_ht, g_sp = grads(pair, xq, yq)
+
+        def ref_loss(params):
+            pred = m.fwd(params, xq.reshape(-1, 8, 8, 1))
+            return jnp.mean(jnp.abs(pred - yq.reshape(-1, 16, 16, 1)))
+
+        ref_l, g_ref = jax.value_and_grad(ref_loss)(p)
+        np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-6)
+        tree_allclose(g_ht,
+                      {k: v for k, v in g_ref.items() if k != "trunk"},
+                      atol=1e-6)
+        tree_allclose(g_sp, parallel.stack_trunk_params(g_ref["trunk"]),
+                      atol=1e-6)
