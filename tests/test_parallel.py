@@ -694,3 +694,36 @@ class TestTrunkPipeline:
                       atol=1e-6)
         tree_allclose(g_sp, parallel.stack_trunk_params(g_ref["trunk"]),
                       atol=1e-6)
+
+    def test_trunk_pipeline_train_composes_with_remat(self):
+        """Instance-scoped RRDB remat (blocks.set_trunk_remat) flows through
+        the pipeline train: the per-stage block recomputes its internals
+        during the backward ring instead of storing every tick's
+        activations.  Remat is value-neutral — grads must be bit-close to
+        the non-remat ring."""
+        from srcgan_tpu.models import blocks
+
+        nb = 3
+        mesh = parallel.make_mesh((nb,), ("pipe",),
+                                  devices=jax.devices()[:nb])
+        m = models.RDDBNet(1, 1, 2, nf=16, nb=nb)
+        p = m.init(jax.random.PRNGKey(5))
+        rng = np.random.default_rng(11)
+        xq = jnp.asarray(rng.uniform(0, 1, (3, 1, 8, 8, 1)
+                                     ).astype(np.float32))
+        yq = jnp.asarray(rng.uniform(0, 1, (3, 1, 16, 16, 1)
+                                     ).astype(np.float32))
+        pair = parallel.place_trunk_pipeline_params(p, mesh)
+
+        _, _, grads = parallel.make_trunk_pipeline_train(m, mesh)
+        l0, g_ht0, g_sp0 = grads(pair, xq, yq)
+
+        assert blocks.set_trunk_remat(m, True) == nb
+        try:
+            _, _, grads_r = parallel.make_trunk_pipeline_train(m, mesh)
+            l1, g_ht1, g_sp1 = grads_r(pair, xq, yq)
+        finally:
+            blocks.set_trunk_remat(m, False)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-7)
+        tree_allclose(g_ht0, g_ht1, atol=1e-7)
+        tree_allclose(g_sp0, g_sp1, atol=1e-7)
