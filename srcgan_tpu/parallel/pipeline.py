@@ -187,6 +187,10 @@ def make_rddb_trunk_pipeline_infer(model, mesh: Mesh, axis: str = "pipe"):
     re-stem — both documented costs of the branch-free SPMD formulation.
     """
     s_stages = mesh.shape[axis]
+    nb = len(model.mods.layers["trunk"].layers)
+    if s_stages != nb:
+        raise ValueError(f"trunk pipeline needs axis '{axis}' of size equal "
+                         f"to the trunk depth (nb={nb}), got {s_stages}")
     rrdb = model.mods.layers["trunk"].layers[0]
     p_axis = P(axis)
     rep = P()
@@ -265,6 +269,10 @@ def make_trunk_pipeline_train(model, mesh: Mesh, axis: str = "pipe",
     import optax
 
     s_stages = mesh.shape[axis]
+    nb = len(model.mods.layers["trunk"].layers)
+    if s_stages != nb:
+        raise ValueError(f"trunk pipeline needs axis '{axis}' of size equal "
+                         f"to the trunk depth (nb={nb}), got {s_stages}")
     rrdb = model.mods.layers["trunk"].layers[0]
 
     def shard_fn(head_tail, stage_params, xq, yq):

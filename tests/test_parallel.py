@@ -727,3 +727,15 @@ class TestTrunkPipeline:
         np.testing.assert_allclose(float(l0), float(l1), rtol=1e-7)
         tree_allclose(g_ht0, g_ht1, atol=1e-7)
         tree_allclose(g_sp0, g_sp1, atol=1e-7)
+
+    def test_trunk_pipeline_rejects_wrong_axis_size(self):
+        """Both pipeline factories validate the mesh axis against the trunk
+        depth up front: a 2-device axis on an nb=3 trunk would silently
+        run RRDB block 0's weights on every stage (stage_params[0] after
+        the shard) instead of failing loudly."""
+        mesh = parallel.make_mesh((2,), ("pipe",), devices=jax.devices()[:2])
+        m = models.RDDBNet(1, 1, 2, nf=16, nb=3)
+        with pytest.raises(ValueError, match="nb=3"):
+            parallel.make_rddb_trunk_pipeline_infer(m, mesh)
+        with pytest.raises(ValueError, match="nb=3"):
+            parallel.make_trunk_pipeline_train(m, mesh)
