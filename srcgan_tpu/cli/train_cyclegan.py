@@ -33,6 +33,11 @@ def build_parser():
                    help="disable per-pass rematerialization: ~1.6x faster "
                         "iterations, but the six-pass backward must fit HBM "
                         "(it does below batch ~3 at 256^2 on a 16 GB chip)")
+    p.add_argument("--pack-passes", action="store_true",
+                   help="batch same-net independent generator passes into "
+                        "one forward (6 passes -> 3; exact math).  Measured "
+                        "SLOWER on v5e at the reference's 256^2 protocol "
+                        "(docs/PERF.md) — opt-in for small-image regimes")
     p.add_argument("--eval-after-save", action="store_true",
                    help="run the eval driver on each saved checkpoint pair "
                         "(train.py:406-412 spawns test.py via os.system after "
@@ -112,6 +117,7 @@ def _run(args, preempted):
                               num_epochs=args.num_epochs,
                               act_dtype=jnp.bfloat16 if args.bf16_acts else None,
                               remat=not args.no_remat,
+                              pack_passes=args.pack_passes,
                               perceptual_params=load_perceptual(args.perceptual),
                               perceptual_weight=args.perceptual_weight)
     state = trainer.init(jax.random.PRNGKey(args.seed))

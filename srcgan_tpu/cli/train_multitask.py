@@ -27,6 +27,12 @@ def build_parser():
                         "update fuse into ONE program per iteration (same "
                         "sampling distribution as the host pools, "
                         "jax.random stream)")
+    p.add_argument("--pack-passes", action="store_true",
+                   help="batch the two independent G_A inputs into one "
+                        "forward (exact for the default instance-norm nets; "
+                        "auto-disabled for --norm batch).  Opt-in: the "
+                        "analogous CycleGAN packing measured slower on v5e "
+                        "at the 256^2 protocol (docs/PERF.md)")
     p.add_argument("--bf16-acts", action="store_true",
                    help="bf16 generator activations with fp32 master params")
     p.add_argument("--mesh-size", type=int, default=0,
@@ -64,7 +70,8 @@ def main(argv=None):
     trainer = MultiTaskTrainer(
         mode=args.mode, lr=args.lr, ngf=args.ngf,
         netG=args.netG, norm=args.norm, num_epochs=args.num_epochs,
-        act_dtype=jnp.bfloat16 if args.bf16_acts else None)
+        act_dtype=jnp.bfloat16 if args.bf16_acts else None,
+        pack_passes=args.pack_passes)
     state = trainer.init(jax.random.PRNGKey(args.seed))
 
     mesh = b_shard = None

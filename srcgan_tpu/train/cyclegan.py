@@ -88,8 +88,20 @@ class CycleGANTrainer:
                  lambda_b: float = 10.0, gan_mode: str = "lsgan",
                  lr_policy: str = "cosine", num_epochs: int = 25,
                  remat: bool = True, act_dtype=None,
-                 perceptual_params=None, perceptual_weight: float = 1.0):
+                 perceptual_params=None, perceptual_weight: float = 1.0,
+                 pack_passes: bool = False):
         self.remat = remat
+        # pack_passes batches independent generator passes of the SAME net
+        # into one forward (6 -> 3 passes; see _g_update).  Exact per-sample
+        # math — every generator here is conv-only (no batch-coupled ops) —
+        # but MEASURED SLOWER on v5e at the reference protocol (bs=1 @256²:
+        # 167 -> 179 ms/iter): each pass already feeds the MXU 65k pixel
+        # rows, so batching adds nothing, while collapsing six independent
+        # pass chains into three strictly-dependent ones costs the scheduler
+        # its inter-pass overlap (docs/PERF.md "Pass-packed GAN generator
+        # step"; scripts/pack_passes_probe.py).  Kept as an equivalence-
+        # tested option for small-image regimes; off by default.
+        self.pack_passes = pack_passes
         # act_dtype=jnp.bfloat16 halves stored-activation memory for the
         # six-pass backward (params stay fp32; convs accumulate fp32).
         self.act_dtype = act_dtype
@@ -197,12 +209,27 @@ class CycleGANTrainer:
 
             g_a = mk(self.netG_A, gp["G_A"])
             g_b = mk(self.netG_B, gp["G_B"])
-            fake_B = g_a(realA)
-            recl_A = g_b(fake_B)
-            fake_A = g_b(realB)
-            recl_B = g_a(fake_A)
-            iden_A = g_a(real_b_gray)
-            iden_B = g_b(real_a_rgb)
+            if self.pack_passes:
+                # The six passes (train.py:228-260) have a 3-level dependency
+                # structure; batch same-net independent inputs so the program
+                # runs 3 generator forwards (batch 2N / 3N / N) instead of 6
+                # bs-N ones.  Per-sample conv math is batch-independent, so
+                # this is the same function (equivalence-tested); at the
+                # reference's bs=1 each unpacked pass underfills the MXU.
+                n = realA.shape[0]
+                out_b = g_b(jnp.concatenate([realB, real_a_rgb], 0))
+                fake_A, iden_B = out_b[:n], out_b[n:]
+                out_a = g_a(jnp.concatenate([realA, real_b_gray, fake_A], 0))
+                fake_B, iden_A, recl_B = (out_a[:n], out_a[n:2 * n],
+                                          out_a[2 * n:])
+                recl_A = g_b(fake_B)
+            else:
+                fake_B = g_a(realA)
+                recl_A = g_b(fake_B)
+                fake_A = g_b(realB)
+                recl_B = g_a(fake_A)
+                iden_A = g_a(real_b_gray)
+                iden_B = g_b(real_a_rgb)
 
             # D forwards in train mode (torch runs Ds in train() during the G
             # step) but with frozen params/stats; D runs fp32 regardless of

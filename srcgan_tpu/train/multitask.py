@@ -42,8 +42,17 @@ class MultiTaskTrainer:
                  lambda_b: float = 10.0, ngf: int = 64,
                  netG: str = "resnet_9blocks", norm: str = "instance",
                  gan_mode: str = "lsgan", lr_policy: str = "cosine",
-                 num_epochs: int = 25, remat: bool = True, act_dtype=None):
+                 num_epochs: int = 25, remat: bool = True, act_dtype=None,
+                 pack_passes: bool = False):
         self.remat = remat
+        # Batch same-net independent generator passes (g_a over
+        # [real_C ; fake_A] — 5 passes -> 4).  Exact per-sample math for the
+        # default nets (convs + instance norm, dropout off); BatchNorm
+        # generators couple samples through batch stats, so norm='batch'
+        # forces the sequential form.  Off by default: the analogous
+        # CycleGAN packing measured SLOWER on v5e at the reference protocol
+        # (docs/PERF.md "Pass-packed GAN generator step").
+        self.pack_passes = pack_passes and norm != "batch"
         # act_dtype=jnp.bfloat16: bf16 compute/stored activations with fp32
         # master params (same pattern as CycleGANTrainer/CasTrainer)
         self.act_dtype = act_dtype
@@ -113,10 +122,20 @@ class MultiTaskTrainer:
             g_b = mk(self.netG_B, gp["G_B"])
             g_c = mk(self.netG_C, gp["G_C"])
             real_C = g_c(realA)
-            fake_B = g_a(real_C)
-            recl_A = g_b(fake_B)
-            fake_A = g_b(realB)
-            recl_B = g_a(fake_A)
+            if self.pack_passes:
+                # g_a's two inputs (real_C from G_C, fake_A from G_B) are
+                # mutually independent — batch them into one forward
+                # (multi-task.py:239-277's five passes as four).
+                n = realA.shape[0]
+                fake_A = g_b(realB)
+                out_a = g_a(jnp.concatenate([real_C, fake_A], 0))
+                fake_B, recl_B = out_a[:n], out_a[n:]
+                recl_A = g_b(fake_B)
+            else:
+                fake_B = g_a(real_C)
+                recl_A = g_b(fake_B)
+                fake_A = g_b(realB)
+                recl_B = g_a(fake_A)
 
             # Ds run fp32 regardless of the generators' activation dtype
             # (same policy as CycleGANTrainer.g_step)

@@ -223,11 +223,15 @@ class TestCycleGAN:
     def test_fused_gd_step_matches_two_step_when_pool_passthrough(self):
         """pool_size=0 makes ImagePool.query the identity (train.py:37-38),
         so the fused single-program gd_step must produce the SAME updates as
-        g_step + host pool round-trip + d_step."""
+        g_step + host pool round-trip + d_step.
+
+        realB >= 32x32: smaller inputs give D_B an empty PatchGAN map whose
+        mean is NaN (torch errors outright there; docs/PARITY.md), making
+        the loss comparisons vacuous (allclose passes NaN==NaN)."""
         import jax.tree_util as jtu
 
         rng = np.random.default_rng(7)
-        realB = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+        realB = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
         realA = jnp.asarray(np.asarray(realB)[:, ::2, ::2, :])
 
         def run(fused):
@@ -254,8 +258,72 @@ class TestCycleGAN:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-6)
         for k in ("loss_G", "loss_D_A", "loss_D_B"):
+            assert np.isfinite(float(aux_f[k])), k  # allclose passes NaN==NaN
             np.testing.assert_allclose(float(aux_f[k]), float(aux_u[k]),
                                        rtol=2e-5, atol=2e-6)
+
+    def test_pack_passes_matches_sequential(self):
+        """pack_passes batches the six generator passes (train.py:228-260)
+        into three same-net forwards along the batch axis.  Every CycleGAN
+        generator is conv-only (no batch-coupled ops), so at matched init
+        params the step-1 losses and per-sample pass outputs must match the
+        sequential six-pass form to conv-reassociation noise.  That pins the
+        whole feature: the packing IS the forward (concat + slice routing),
+        and its backward is autodiff of the verified-identical graph.
+        Updated params are deliberately NOT compared tightly — Adam's first
+        step on a noise-dominated gradient entry is +-lr * sign(reduction
+        noise) (docs/ROADMAP.md round-3 notes: "Adam-updated params are the
+        wrong comparison surface"), so that check can only flake.
+
+        realB must be >= 32x32: below that D_B's PatchGAN tail (k4 s1 p1
+        twice on the 8x8 domain-A inputs) emits an EMPTY prediction map
+        whose mean is NaN (torch instead raises "Kernel size can't be
+        greater than actual input size" there — see docs/PARITY.md; either
+        way the regime is outside the 256² protocol).  The NaN's backward
+        contributes nothing, so params stay finite, and allclose(NaN, NaN)
+        passes vacuously — hence the explicit isfinite guards."""
+        rng = np.random.default_rng(11)
+        realB = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        realA = jnp.asarray(np.asarray(realB)[:, ::2, ::2, :])
+
+        def run(pack):
+            tr = CycleGANTrainer(net="1", mode="x2", pool_size=0, remat=False,
+                                 pack_passes=pack)
+            st = tr.init(jax.random.PRNGKey(5))
+            st1, aux = tr.gd_step(st, realA, realB, tr.lr, tr.d_lr)
+            # one more step: the packed program must stay healthy when
+            # iterated (fake_A re-enters g_a's packed batch each step)
+            st2, aux2 = tr.gd_step(st1, realA, realB, tr.lr, tr.d_lr)
+            return aux, aux2
+
+        aux_p, aux2_p = run(True)
+        aux_s, _ = run(False)
+        for k in ("loss_G", "loss_G_A", "loss_G_B", "loss_cycle_A",
+                  "loss_cycle_B", "loss_iden_A", "loss_iden_B",
+                  "loss_D_A", "loss_D_B"):
+            assert np.isfinite(float(aux_p[k])), k
+            np.testing.assert_allclose(float(aux_p[k]), float(aux_s[k]),
+                                       rtol=2e-5, atol=2e-6, err_msg=k)
+            assert np.isfinite(float(aux2_p[k])), k
+        for k in ("fake_A", "fake_B", "recl_A", "recl_B", "iden_A", "iden_B"):
+            np.testing.assert_allclose(np.asarray(aux_p[k]),
+                                       np.asarray(aux_s[k]),
+                                       rtol=2e-4, atol=2e-5, err_msg=k)
+
+    def test_pack_passes_composes_with_remat_and_bf16(self):
+        """The packed forward under per-pass jax.checkpoint + bf16 stored
+        activations still produces finite losses and the right shapes (the
+        production --device-pool/--bf16-acts configs run through it)."""
+        tr = CycleGANTrainer(net="SRdens", mode="x2", pool_size=0,
+                             act_dtype=jnp.bfloat16, pack_passes=True)
+        st = tr.init(jax.random.PRNGKey(2))
+        realA, realB = make_batch(n=1, size=32)
+        realA_lr = jnp.asarray(np.asarray(realA)[:, ::2, ::2, :])
+        st, aux = tr.optimize_parameters(st, realA_lr, realB)
+        for k in ("loss_G", "loss_D_A", "loss_D_B"):
+            assert np.isfinite(float(aux[k])), k
+        assert aux["fake_B"].shape == realB.shape
+        assert aux["iden_A"].shape == realB.shape
 
     def test_gd_steps_scan_matches_sequential(self):
         """gd_steps_u8 (K fused G+D iterations per dispatch) applies the
@@ -267,8 +335,10 @@ class TestCycleGAN:
         from srcgan_tpu.data import preprocess
 
         rng = np.random.default_rng(11)
-        src = rng.integers(0, 256, (2, 1, 16, 16, 3), dtype=np.uint8)
-        tar = rng.integers(0, 256, (2, 1, 16, 16, 3), dtype=np.uint8)
+        # 32x32: at 16x16 D_B's PatchGAN map is empty -> NaN losses that
+        # make the allclose checks vacuous (NaN==NaN passes)
+        src = rng.integers(0, 256, (2, 1, 32, 32, 3), dtype=np.uint8)
+        tar = rng.integers(0, 256, (2, 1, 32, 32, 3), dtype=np.uint8)
 
         tr = CycleGANTrainer(net="1", mode="x2", pool_size=0, remat=False)
         st = tr.init(jax.random.PRNGKey(3))
@@ -286,6 +356,7 @@ class TestCycleGAN:
             tr.lr, tr.d_lr)
         for j in range(2):
             for k in ("loss_G", "loss_D_A", "loss_D_B", "loss_cycle_A"):
+                assert np.isfinite(float(rows[k][j])), f"step {j} {k}"
                 np.testing.assert_allclose(float(rows[k][j]),
                                            float(auxs[j][k]),
                                            rtol=2e-5, atol=2e-6,
@@ -427,6 +498,51 @@ class TestMultiTask:
         assert aux["fake_B"].shape == realB.shape
         for k in ["loss_G", "loss_G_C", "loss_D_A", "loss_D_B"]:
             assert np.isfinite(float(aux[k])), k
+
+    def test_pack_passes_matches_sequential(self):
+        """The packed G_A forward (one batch-2N pass over [real_C ; fake_A])
+        equals the sequential two-pass form: instance norm is per-sample, so
+        per-sample math is batch-independent.  Step-1 losses and per-sample
+        pass outputs at matched init params pin the routing; updated params
+        are NOT compared tightly — a conv bias feeding instance norm has a
+        mathematically ZERO gradient, so Adam's first step there is
+        +-lr * sign(reduction noise) and differs across program shapes
+        (docs/ROADMAP.md: "Adam-updated params are the wrong comparison
+        surface")."""
+        from srcgan_tpu.train import MultiTaskTrainer
+
+        rng = np.random.default_rng(3)
+        realB = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)
+                                        ).astype(np.float32))
+        realA = jnp.asarray((np.asarray(realB) @ np.array(
+            [0.2125, 0.7154, 0.0721], np.float32))[..., None][:, ::2, ::2])
+
+        def run(pack):
+            tr = MultiTaskTrainer(mode="x2", ngf=8, netG="resnet_6blocks",
+                                  pool_size=0, remat=False, pack_passes=pack)
+            st = tr.init(jax.random.PRNGKey(4))
+            st, aux = tr.optimize_parameters(st, realA, realB)
+            return st, aux
+
+        st_p, aux_p = run(True)
+        st_s, aux_s = run(False)
+        for k in ("loss_G", "loss_G_A", "loss_G_B", "loss_G_C",
+                  "loss_cycle_A", "loss_cycle_B", "loss_D_A", "loss_D_B"):
+            assert np.isfinite(float(aux_p[k])), k  # allclose passes NaN==NaN
+            np.testing.assert_allclose(float(aux_p[k]), float(aux_s[k]),
+                                       rtol=2e-5, atol=2e-6, err_msg=k)
+        for k in ("real_C", "fake_A", "fake_B", "recl_A", "recl_B"):
+            np.testing.assert_allclose(np.asarray(aux_p[k]),
+                                       np.asarray(aux_s[k]),
+                                       rtol=2e-4, atol=2e-5, err_msg=k)
+
+    def test_pack_passes_disabled_for_batchnorm(self):
+        """norm='batch' couples samples through batch statistics — the
+        trainer must fall back to sequential passes regardless of the flag."""
+        from srcgan_tpu.train import MultiTaskTrainer
+        tr = MultiTaskTrainer(mode="x2", ngf=8, netG="resnet_6blocks",
+                              norm="batch", pack_passes=True)
+        assert tr.pack_passes is False
 
     def test_device_pool_warmup_matches_host(self):
         """MultiTaskTrainer.gd_step_pooled equals the host-pool
@@ -808,8 +924,9 @@ class TestPooledStepsPerDispatch:
         from srcgan_tpu.data import preprocess
 
         rng = np.random.default_rng(13)
-        src = rng.integers(0, 256, (2, 1, 16, 16, 3), dtype=np.uint8)
-        tar = rng.integers(0, 256, (2, 1, 16, 16, 3), dtype=np.uint8)
+        # 32x32 for non-degenerate D_B maps (see the scan test above)
+        src = rng.integers(0, 256, (2, 1, 32, 32, 3), dtype=np.uint8)
+        tar = rng.integers(0, 256, (2, 1, 32, 32, 3), dtype=np.uint8)
 
         tr = CycleGANTrainer(net="1", mode="x2", pool_size=2, remat=False)
         st = tr.init(jax.random.PRNGKey(3))
@@ -836,6 +953,7 @@ class TestPooledStepsPerDispatch:
 
         for j in range(2):
             for k in ("loss_G", "loss_D_A", "loss_D_B", "loss_cycle_A"):
+                assert np.isfinite(float(rows[k][j])), f"step {j} {k}"
                 np.testing.assert_allclose(float(rows[k][j]),
                                            float(auxs[j][k]),
                                            rtol=2e-5, atol=2e-6,
