@@ -201,17 +201,12 @@ def _run(args, preempted):
     state = trainer.init(jax.random.PRNGKey(args.seed))
     start_epoch = 1
     state_path = os.path.join(args.checkpoints, "casstate_latest.npz")
-    if (args.resume and not args.orbax_dir and not args.zero_opt
-            and os.path.exists(state_path)):
-        state, extra = load_train_state(state_path, state)
-        start_epoch = int(extra.get("epoch", 0)) + 1
-        print(f"resumed from {state_path} at epoch {start_epoch}")
 
     mesh = None
     if args.zero_opt:
         # ZeRO-1: the opt_state slot holds row-sharded (mu, nu) arrays, so
-        # the state template, resume path and step wrapper all differ from
-        # the replicated-optax branches below.
+        # the state template and step wrapper differ from the
+        # replicated-optax branches below.
         if args.mesh_size <= 1 or args.space_size > 1:
             raise SystemExit("--zero-opt requires a 1-D --mesh-size data "
                              "mesh (no --space-size)")
@@ -219,16 +214,25 @@ def _run(args, preempted):
             raise SystemExit("--zero-opt composes with the plain DP loop "
                              "(not --ema-decay/--grad-accum)")
         mesh = parallel.make_mesh((args.mesh_size,), ("data",))
-        state = parallel.zero1_init(trainer, jax.random.PRNGKey(args.seed),
-                                    mesh)
+        state = parallel.zero1_from_state(state, mesh)
+    if args.mesh_size > 1 and args.batch_size % args.mesh_size:
+        # every mesh path shards the batch dim over 'data' (shard_map needs
+        # exact divisibility; GSPMD would silently pad — reject both)
+        raise SystemExit("--mesh-size requires --batch-size divisible by it")
+
+    # npz resume (one block for plain AND zero layouts: the device_get'd
+    # current state is the load template, so whatever shape the opt_state
+    # slot has — optax tree or sharded (mu, nu) — round-trips)
+    if args.resume and not args.orbax_dir and os.path.exists(state_path):
+        raw, extra = load_train_state(state_path, jax.device_get(state))
         # orbax composes naturally: the zero state IS a sharded target, so
         # saves are per-shard and restore places moments sharded with no
-        # gather (the block below restores into this state's shardings)
-        if args.resume and not args.orbax_dir and os.path.exists(state_path):
-            raw, extra = load_train_state(state_path, jax.device_get(state))
-            state = parallel.zero1_put(raw, mesh)
-            start_epoch = int(extra.get("epoch", 0)) + 1
-            print(f"resumed from {state_path} at epoch {start_epoch}")
+        # gather (the orbax block below restores into this state's shardings)
+        state = parallel.zero1_put(raw, mesh) if args.zero_opt else raw
+        start_epoch = int(extra.get("epoch", 0)) + 1
+        print(f"resumed from {state_path} at epoch {start_epoch}")
+
+    if args.zero_opt:
         step = (parallel.make_cas_zero1_step(trainer, mesh)
                 if args.steps_per_dispatch == 1 else None)
     elif args.mesh_size > 1 and args.space_size > 1:
@@ -265,12 +269,9 @@ def _run(args, preempted):
                              "--ema-decay)")
         if mesh is not None:
             # DP x steps-per-dispatch: K scanned psum'd updates per dispatch
-            # — the production multi-chip loop.  Shards need a divisible
-            # batch; the epoch's ragged tail batch is dropped (drop_last
-            # below) so every block is uniformly (K', batch_size, ...).
-            if args.batch_size % args.mesh_size:
-                raise SystemExit("--steps-per-dispatch with --mesh-size "
-                                 "needs --batch-size divisible by the mesh")
+            # — the production multi-chip loop (batch divisibility was
+            # validated above; the ragged tail batch is dropped via
+            # drop_last so every block is uniformly (K', batch_size, ...)).
             dp_steps_u8 = (parallel.make_cas_zero1_steps_u8(trainer, mesh)
                            if args.zero_opt else
                            parallel.make_cas_dp_steps_u8(trainer, mesh))
@@ -363,10 +364,16 @@ def _run(args, preempted):
     for epoch in range(start_epoch, args.num_epochs + 1):
         epoch_psnr = []
         lr = trainer.lr_at_epoch(epoch)
+        # shard_map paths (DP / ZeRO per-step loops and the K-steps blocks)
+        # need every batch's leading dim divisible by the mesh: drop the
+        # epoch's ragged tail batch there.  The 2-D GSPMD path and the
+        # single-device steps handle any batch size.
+        shardmap_loop = mesh is not None and args.space_size <= 1
         raw_iter = data.batches(trainset, args.batch_size, shuffle=True,
                                 seed=args.seed, epoch=epoch,
                                 workers=args.workers,
-                                drop_last=dp_steps_u8 is not None)
+                                drop_last=(dp_steps_u8 is not None
+                                           or shardmap_loop))
         if args.steps_per_dispatch > 1:
             # K steps per dispatch: stacked uint8 blocks scanned on device
             # (train_steps_u8, or its psum'd DP composition under a mesh) —

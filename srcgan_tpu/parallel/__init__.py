@@ -18,6 +18,7 @@ from srcgan_tpu.parallel.dp import (
 from srcgan_tpu.parallel.zero import (
     make_cas_zero1_step,
     make_cas_zero1_steps_u8,
+    zero1_from_state,
     zero1_init,
     zero1_opt_bytes_per_device,
     zero1_put,
@@ -41,7 +42,8 @@ __all__ = [
     "put_replicated", "replicated", "spatial_sharding", "make_cas_dp_step",
     "make_cas_dp_steps_u8", "make_cas_2d_step",
     "make_cyclegan_dp_steps", "make_spatial_infer",
-    "make_cas_zero1_step", "make_cas_zero1_steps_u8", "zero1_init",
+    "make_cas_zero1_step", "make_cas_zero1_steps_u8",
+    "zero1_from_state", "zero1_init",
     "zero1_opt_bytes_per_device", "zero1_put",
     "make_cas_tp_step", "make_tp_infer", "tp_param_shardings",
     "tp_shard_params", "make_cascade_pipeline_infer",

@@ -264,7 +264,8 @@ def make_trunk_pipeline_train(model, mesh: Mesh, axis: str = "pipe",
     data replica of the ring trains on its slice, and grads/loss pmean
     across ``data_axis`` — so the two classic scale-out directions (deeper
     trunk -> more 'pipe', bigger batch -> more 'data') compose in one
-    program.  m must divide the data-axis size.
+    program.  The data-axis size must divide the microbatch sample dim m
+    (shard_map shards m over ``data_axis``).
     """
     import optax
 

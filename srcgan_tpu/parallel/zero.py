@@ -36,6 +36,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from srcgan_tpu.parallel import mesh as mesh_lib
+from srcgan_tpu.train import optim
 from srcgan_tpu.train.cas import CasState
 from srcgan_tpu.train.state import TrainState
 
@@ -74,13 +75,14 @@ def zero1_opt_init(params, mesh: Mesh, axis: str = "data"):
     return (mu, nu)
 
 
-def zero1_init(trainer, key, mesh: Mesh, axis: str = "data") -> CasState:
-    """CasState for the ZeRO-1 step: params replicated, moments sharded.
-
-    The opt_state slot of each TrainState holds the (mu, nu) shard pair
-    instead of an optax state; only ``make_cas_zero1_step`` understands it.
-    """
-    state = mesh_lib.put_replicated(trainer.init(key), mesh)
+def zero1_from_state(state: CasState, mesh: Mesh,
+                     axis: str = "data") -> CasState:
+    """Convert an already-initialized CasState to the ZeRO-1 layout:
+    params replicated, the opt_state slot of each TrainState replaced by
+    the sharded (mu, nu) pair (fresh zeros; only ``make_cas_zero1_step``
+    understands this layout).  The existing optax state is discarded —
+    use ``zero1_put`` to place a restored ZeRO-shaped checkpoint instead."""
+    state = mesh_lib.put_replicated(state, mesh)
 
     def reopt(ts: TrainState) -> TrainState:
         return TrainState(ts.params, zero1_opt_init(ts.params, mesh, axis),
@@ -88,6 +90,11 @@ def zero1_init(trainer, key, mesh: Mesh, axis: str = "data") -> CasState:
 
     return CasState(reopt(state.sr), reopt(state.c),
                     state.sr_model_state, state.c_model_state)
+
+
+def zero1_init(trainer, key, mesh: Mesh, axis: str = "data") -> CasState:
+    """CasState for the ZeRO-1 step: params replicated, moments sharded."""
+    return zero1_from_state(trainer.init(key), mesh, axis)
 
 
 def zero1_opt_bytes_per_device(params, mesh: Mesh, axis: str = "data") -> int:
@@ -170,17 +177,28 @@ def _zero1_specs(axis: str):
     return CasState(ts_spec, ts_spec, P(), P())
 
 
+def _adam_hparams(trainer, b1, b2, eps):
+    """Resolve (b1, b2, eps): explicit args win, else the trainer's own
+    optimizer hyperparameters (CasTrainer.adam_hparams) — so 'same math as
+    plain DP' stays true even if the trainer's Adam config ever changes."""
+    tb1, tb2, teps = getattr(trainer, "adam_hparams", optim.ADAM_HPARAMS)
+    return (tb1 if b1 is None else b1, tb2 if b2 is None else b2,
+            teps if eps is None else eps)
+
+
 def make_cas_zero1_step(trainer, mesh: Mesh, axis: str = "data",
-                        b1: float = 0.9, b2: float = 0.999,
-                        eps: float = 1e-8):
+                        b1: float | None = None, b2: float | None = None,
+                        eps: float | None = None):
     """ZeRO-1 DP train step for a CasTrainer.
 
     Returns step(state, realA, realB, lr) -> (state, metrics): batches are
     sharded over ``axis`` (leading dim divisible by the axis size), params
     replicated, Adam moments sharded per ``zero1_init``.  Equivalent math
     to ``make_cas_dp_step`` + optax.adam; only the state layout and the
-    collective schedule differ.
+    collective schedule differ.  Adam hyperparameters default to the
+    trainer's own (``adam_hparams``).
     """
+    b1, b2, eps = _adam_hparams(trainer, b1, b2, eps)
     update_state = _make_zero1_update(trainer, axis, mesh.shape[axis],
                                       b1, b2, eps)
     state_spec = _zero1_specs(axis)
@@ -194,8 +212,8 @@ def make_cas_zero1_step(trainer, mesh: Mesh, axis: str = "data",
 
 
 def make_cas_zero1_steps_u8(trainer, mesh: Mesh, axis: str = "data",
-                            b1: float = 0.9, b2: float = 0.999,
-                            eps: float = 1e-8):
+                            b1: float | None = None, b2: float | None = None,
+                            eps: float | None = None):
     """ZeRO-1 x steps-per-dispatch: K scanned sharded-optimizer updates per
     dispatch, on the uint8 fused-preprocessing input path — the ZeRO analog
     of ``dp.make_cas_dp_steps_u8`` (same (K, N, ...) uint8 blocks, N sharded
@@ -203,6 +221,7 @@ def make_cas_zero1_steps_u8(trainer, mesh: Mesh, axis: str = "data",
     from srcgan_tpu.data import preprocess
 
     ver = "G2LAB" if trainer.lab else "G2RGB"
+    b1, b2, eps = _adam_hparams(trainer, b1, b2, eps)
     update_state = _make_zero1_update(trainer, axis, mesh.shape[axis],
                                       b1, b2, eps)
 

@@ -75,6 +75,9 @@ class CasTrainer:
         self.netG_A2C = models.create(sr_model, 1, 1, up)
         self.netG_C2B = models.create(c_model, 1, 2 if lab else 3)
         self.opt = optim.adam(lr)
+        # the ZeRO-1 step re-implements this optimizer sharded; it reads the
+        # hyperparameters from here so the two can never silently diverge
+        self.adam_hparams = optim.ADAM_HPARAMS
 
     # -- setup ---------------------------------------------------------------
 

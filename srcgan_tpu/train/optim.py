@@ -57,8 +57,16 @@ def true_cosine(base_lr: float, num_epochs: int, epoch: int,
         1 + math.cos(math.pi * epoch / num_epochs)) / 2
 
 
-def adam(lr: float = 1e-4, b1: float = 0.9, b2: float = 0.999,
-         eps: float = 1e-8) -> optax.GradientTransformation:
+# Torch-default Adam hyperparameters (trainCas.py:38-41 passes only lr).
+# Single source of truth: trainers record these as `adam_hparams` so the
+# hand-rolled updates that must match optax.adam bit-for-bit (the ZeRO-1
+# sharded step) derive them from the trainer instead of re-hardcoding.
+ADAM_HPARAMS = (0.9, 0.999, 1e-8)
+
+
+def adam(lr: float = 1e-4, b1: float = ADAM_HPARAMS[0],
+         b2: float = ADAM_HPARAMS[1],
+         eps: float = ADAM_HPARAMS[2]) -> optax.GradientTransformation:
     """Adam with torch-default eps; LR is injected so schedules can update it
     without rebuilding optimizer state."""
     return optax.inject_hyperparams(optax.adam)(

@@ -395,7 +395,7 @@ class TestZeroOptCLI:
                 "--checkpoints", str(tmp_path / "ckpt_zero_bad")]
         with pytest.raises(SystemExit, match="1-D --mesh-size"):
             train_cas.main(base + ["--zero-opt"])
-        with pytest.raises(SystemExit, match="npz state backend"):
+        with pytest.raises(SystemExit, match="plain DP loop"):
             train_cas.main(base + ["--zero-opt", "--mesh-size", "2",
                                    "--ema-decay", "0.99"])
 

@@ -355,6 +355,34 @@ class TestZero1:
         tree_allclose(st_dp.c.params, st_z.c.params, atol=5e-4)
         assert int(st_z.sr.step) == 3
 
+    def test_zero1_composes_with_bf16_acts(self):
+        """--zero-opt x --bf16-acts: bf16 compute under shard_map, fp32
+        psum_scatter'd grads, fp32 sharded moments/masters — must track
+        plain DP at the same act_dtype (same envelope as the fp32 test;
+        bf16 affects the grads identically on both sides)."""
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2,
+                        act_dtype=jnp.bfloat16)
+        mesh = parallel.make_mesh()
+        realA, realB = make_batch(8)
+        a, b = parallel.put_batch(realA, mesh), parallel.put_batch(realB, mesh)
+
+        st_dp = parallel.put_replicated(tr.init(jax.random.PRNGKey(0)), mesh)
+        dp_step = parallel.make_cas_dp_step(tr, mesh)
+        st_z = parallel.zero1_init(tr, jax.random.PRNGKey(0), mesh)
+        z_step = parallel.make_cas_zero1_step(tr, mesh)
+
+        for _ in range(2):
+            st_dp, m_dp = dp_step(st_dp, a, b, 1e-4)
+            st_z, m_z = z_step(st_z, a, b, 1e-4)
+
+        np.testing.assert_allclose(float(m_dp["loss_SR"]),
+                                   float(m_z["loss_SR"]), rtol=1e-3)
+        tree_allclose(st_dp.sr.params, st_z.sr.params, atol=5e-4)
+        # fp32 masters and fp32 sharded moments despite bf16 activations
+        for leaf in jax.tree_util.tree_leaves(
+                (st_z.sr.params, st_z.sr.opt_state)):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+
     def test_moments_physically_sharded(self):
         """Each device must HOLD only its 1/D-th of every moment array —
         the memory claim, checked on the committed buffers."""
