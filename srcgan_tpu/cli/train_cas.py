@@ -114,6 +114,8 @@ def build_parser():
                         "(losses.py:344-393); 'random' = untrained VGG "
                         "(testing only)")
     p.add_argument("--perceptual-weight", type=float, default=1.0)
+    from srcgan_tpu.utils.live import add_live_flag
+    add_live_flag(p)
     return p
 
 
@@ -168,9 +170,13 @@ def main(argv=None):
     preempted = {"flag": False}
     prev_handler = signal.signal(signal.SIGTERM,
                                  lambda s_, f_: preempted.update(flag=True))
+    from srcgan_tpu.utils import live as live_mod
+    live = live_mod.maybe_start(args)
     try:
         return _run(args, preempted)
     finally:
+        if live is not None:
+            live.stop()
         signal.signal(signal.SIGTERM, prev_handler)
 
 

@@ -75,6 +75,8 @@ def build_parser():
                         "PatchGAN's BatchNorm stats stay global-batch "
                         "(equivalence-tested in tests/test_parallel.py). "
                         "Composes with --steps-per-dispatch.")
+    from srcgan_tpu.utils.live import add_live_flag
+    add_live_flag(p)
     return p
 
 
@@ -90,9 +92,13 @@ def main(argv=None):
     preempted = {"flag": False}
     prev_handler = signal.signal(signal.SIGTERM,
                                  lambda s_, f_: preempted.update(flag=True))
+    from srcgan_tpu.utils import live as live_mod
+    live = live_mod.maybe_start(args)
     try:
         return _run(args, preempted)
     finally:
+        if live is not None:
+            live.stop()
         signal.signal(signal.SIGTERM, prev_handler)
 
 

@@ -46,11 +46,24 @@ def build_parser():
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--checkpoints", type=str, default="./checkpoints")
     p.add_argument("--seed", type=int, default=0)
+    from srcgan_tpu.utils.live import add_live_flag
+    add_live_flag(p)
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    from srcgan_tpu.utils import live as live_mod
+    live = live_mod.maybe_start(args)
+    try:
+        return _run(args)
+    finally:
+        if live is not None:
+            live.stop()
+
+
+def _run(args):
 
     from srcgan_tpu.config import enable_compilation_cache
     enable_compilation_cache()

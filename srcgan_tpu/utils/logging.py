@@ -9,6 +9,7 @@ window-per-name semantics.  The stdout line format matches the reference.
 from __future__ import annotations
 
 import datetime
+import json
 import os
 import sys
 import time
@@ -26,6 +27,12 @@ class Logger:
         self.n_epochs = n_epochs
         self.init_time = time.time()
         self.image_dir = image_dir
+        if image_dir:
+            # run dirs (e.g. runs/latest) are reused across runs: start this
+            # run's loss history fresh, like Visdom's windows reset
+            hist = os.path.join(image_dir, "losses.jsonl")
+            if os.path.exists(hist):
+                os.remove(hist)
 
     def log(self, nepoch: int, niter: int, losses: Optional[Dict] = None,
             images: Optional[Dict] = None, ver: str = "G2RGB") -> None:
@@ -39,6 +46,14 @@ class Logger:
         eta = iters_left / max(iters_done, 1) * period
         sys.stdout.write("ETA: %s" % (datetime.timedelta(seconds=int(eta))))
         sys.stdout.flush()
+
+        if losses and self.image_dir:
+            # history consumed by utils.live.LiveView (and greppable per run)
+            os.makedirs(self.image_dir, exist_ok=True)
+            row = {"epoch": nepoch, "iter": niter, "t": round(period, 2),
+                   "losses": {k: float(v) for k, v in losses.items()}}
+            with open(os.path.join(self.image_dir, "losses.jsonl"), "a") as f:
+                f.write(json.dumps(row) + "\n")
 
         if images and self.image_dir:
             os.makedirs(self.image_dir, exist_ok=True)
