@@ -30,6 +30,12 @@ def build_parser():
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--result-dir", type=str, default="./result")
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--mesh-size", type=int, default=None,
+                   help="data-parallel eval over the first N devices (batch "
+                        "sharded over a 1-D mesh, GSPMD derives the "
+                        "collectives; ragged final batches are edge-padded "
+                        "to the mesh size and the pad rows dropped from "
+                        "metrics/saves) — the eva.sh sweep's multi-chip form")
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high", "default", "int8"],
                    help="conv precision: highest=fp32 (metric-grade), "
@@ -56,6 +62,11 @@ def main(argv=None):
     from srcgan_tpu.utils import vis
 
     int8 = args.precision == "int8"
+    if args.mesh_size and int8:
+        sys.exit("--mesh-size does not compose with --precision int8 (the "
+                 "quant calibrate/replay contract is one trace per "
+                 "quant_mode block on ONE platform/sharding; run int8 "
+                 "single-device)")
     config.set_conv_precision("highest" if int8 else args.precision)
     infoA = parse_checkpoint_name(args.netGA)
     infoB = parse_checkpoint_name(args.netGB)
@@ -67,6 +78,19 @@ def main(argv=None):
     netG_C2B = models.create(infoB["model"], 1, 2 if lab else 3)
     pA, stA = load_params_any(netG_A2C, args.netGA)
     pB, stB = load_params_any(netG_C2B, args.netGB)
+
+    mesh = None
+    if args.mesh_size:
+        from srcgan_tpu import parallel
+
+        mesh = parallel.make_mesh((args.mesh_size,), ("data",))
+        # params replicated across the mesh; inputs batch-sharded per batch
+        # below — GSPMD derives the (collective-free) per-device programs
+        pA, pB = parallel.put_replicated((pA, pB), mesh)
+        if stA is not None:
+            stA = parallel.put_replicated(stA, mesh)
+        if stB is not None:
+            stB = parallel.put_replicated(stB, mesh)
 
     testset = data.FileListDataset(args.root, "test", infoA["ver"],
                                    args.data_dir)
@@ -123,13 +147,32 @@ def main(argv=None):
         print(f"int8: calibrated {len(scales)} conv callsites")
         run_ctx = lambda: quant.quant_mode("int8", scales)
 
+    tail_ctx = contextlib.nullcontext
+    if mesh is not None:
+        # GSPMD-sharded programs must not trace the Pallas eval tail
+        # (models/rddb.py invariant: the custom call pins an unsharded
+        # layout); the pure-XLA folded tail lowers under any sharding
+        from srcgan_tpu.models import rddb as rddb_mod
+
+        tail_ctx = rddb_mod.no_pallas_tail
+
     ps_evals = per_sample_evaluators()
     performs = [[] for _ in ps_evals]
     done = 0
     for src_u8, tar_u8, idxs in data_mod.batches(testset, args.batch_size):
+        if mesh is not None:
+            # pad rows only feed the device program; the save/metric loop
+            # below walks idxs, so they never reach Performs.csv or disk
+            src_u8, _ = parallel.pad_batch_to(np.asarray(src_u8),
+                                              args.mesh_size)
+            tar_u8, _ = parallel.pad_batch_to(np.asarray(tar_u8),
+                                              args.mesh_size)
         realA, realB = preprocess.convert_pair(
             jnp.asarray(src_u8), jnp.asarray(tar_u8), infoA["ver"])
-        with run_ctx():
+        if mesh is not None:
+            realA = parallel.put_batch(realA, mesh)
+            realB = parallel.put_batch(realB, mesh)
+        with run_ctx(), tail_ctx():
             fake_AC, fake_AB, fake_BC, fake_BB = cascade(pA, pB, realA, realB)
 
         if lab:

@@ -59,6 +59,42 @@ class TestTrainTestVis:
             "--threshold", "100"])
         assert n == 0
 
+    def test_mesh_eval_matches_single_device(self, synth, tmp_path,
+                                             monkeypatch):
+        """--mesh-size N on the eval driver: batch-sharded DP eval produces
+        the same Performs.csv metrics and per-sample PNGs as the
+        single-device protocol (ragged batches edge-padded; pad rows never
+        reach metrics or disk)."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import test_cas, train_cas
+
+        train_cas.main([
+            "--SRModel", "ESPCN", "--CModel", "ResDeconv", "--up", "2",
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--num-epochs", "1", "--save-every", "1", "--log-every", "4",
+            "--checkpoints", str(tmp_path / "ckpt_me"),
+        ])
+        netGA = str(tmp_path / "ckpt_me" / "ESPCN_A2C_x2_0001.npz")
+        netGB = str(tmp_path / "ckpt_me" / "ResDeconv_C2B_x2_0001.npz")
+        base = [
+            "--netGA", netGA, "--netGB", netGB,
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+        ]
+        df0 = test_cas.main(base + ["--result-dir", str(tmp_path / "r0")])
+        # batch-size 1 under mesh 2 pads every batch 1 -> 2: the pad row
+        # must not perturb the real samples' metrics or get saved
+        df1 = test_cas.main(base + [
+            "--result-dir", str(tmp_path / "r1"), "--mesh-size", "2"])
+        for col in ("MSE", "PSNR", "AE", "SSIM"):
+            np.testing.assert_allclose(df1[col].iloc[-1], df0[col].iloc[-1],
+                                       rtol=1e-5, atol=2e-5, err_msg=col)
+        outB = sorted(os.listdir(tmp_path / "r1" / "B_ESPCN_x2_0001"))
+        assert outB == ["test-0.png", "test-1.png"]
+        # int8 + mesh is an explicit non-composition
+        with pytest.raises(SystemExit, match="int8"):
+            test_cas.main(base + ["--result-dir", str(tmp_path / "r2"),
+                                  "--mesh-size", "2", "--precision", "int8"])
+
     def test_steps_per_dispatch_workflow(self, synth, tmp_path, monkeypatch):
         """--steps-per-dispatch K trains through the scanned multi-step
         program (one dispatch per K batches) and produces the same
