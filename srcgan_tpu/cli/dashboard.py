@@ -19,6 +19,10 @@ def build_parser():
                    help="run directory a Logger writes windows/losses into")
     p.add_argument("--port", type=int, default=8097,
                    help="HTTP port (Visdom's default); 0 = ephemeral")
+    p.add_argument("--host", type=str, default="127.0.0.1",
+                   help="bind address; the endpoints are unauthenticated, "
+                        "so exposing beyond loopback (e.g. 0.0.0.0) is an "
+                        "explicit opt-in")
     return p
 
 
@@ -26,7 +30,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from srcgan_tpu.utils.live import LiveView
 
-    live = LiveView(args.dir, port=args.port).start()
+    live = LiveView(args.dir, port=args.port, host=args.host).start()
     print(f"live dashboard over {args.dir}: http://localhost:{live.port}/")
     try:
         while True:

@@ -33,9 +33,11 @@ def build_parser():
     p.add_argument("--mesh-size", type=int, default=None,
                    help="data-parallel eval over the first N devices (batch "
                         "sharded over a 1-D mesh, GSPMD derives the "
-                        "collectives; ragged final batches are edge-padded "
-                        "to the mesh size and the pad rows dropped from "
-                        "metrics/saves) — the eva.sh sweep's multi-chip form")
+                        "collectives; --batch-size is rounded up to a mesh "
+                        "multiple — protocol-neutral, metrics are per-sample "
+                        "— and the ragged final batch is edge-padded, pad "
+                        "rows dropped from metrics/saves) — the eva.sh "
+                        "sweep's multi-chip form")
     p.add_argument("--precision", type=str, default="highest",
                    choices=["highest", "high", "default", "int8"],
                    help="conv precision: highest=fp32 (metric-grade), "
@@ -83,7 +85,15 @@ def main(argv=None):
     if args.mesh_size:
         from srcgan_tpu import parallel
 
+        if args.batch_size % args.mesh_size:
+            eff = -(-args.batch_size // args.mesh_size) * args.mesh_size
+            print(f"--mesh-size {args.mesh_size}: raising --batch-size "
+                  f"{args.batch_size} -> {eff} (a mesh multiple; per-sample "
+                  "metrics make this protocol-neutral, and without it every "
+                  "batch would be mostly discarded pad rows)")
+            args.batch_size = eff
         mesh = parallel.make_mesh((args.mesh_size,), ("data",))
+        b_shard = parallel.batch_sharding(mesh)
         # params replicated across the mesh; inputs batch-sharded per batch
         # below — GSPMD derives the (collective-free) per-device programs
         pA, pB = parallel.put_replicated((pA, pB), mesh)
@@ -167,11 +177,13 @@ def main(argv=None):
                                               args.mesh_size)
             tar_u8, _ = parallel.pad_batch_to(np.asarray(tar_u8),
                                               args.mesh_size)
+            # shard the uint8 batch BEFORE the on-device conversion (the
+            # trainers' pattern, train_multitask.py) so convert_pair itself
+            # runs sharded instead of on device 0 followed by a reshard
+            src_u8 = jax.device_put(src_u8, b_shard)
+            tar_u8 = jax.device_put(tar_u8, b_shard)
         realA, realB = preprocess.convert_pair(
             jnp.asarray(src_u8), jnp.asarray(tar_u8), infoA["ver"])
-        if mesh is not None:
-            realA = parallel.put_batch(realA, mesh)
-            realB = parallel.put_batch(realB, mesh)
         with run_ctx(), tail_ctx():
             fake_AC, fake_AB, fake_BC, fake_BB = cascade(pA, pB, realA, realB)
 

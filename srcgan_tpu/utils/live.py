@@ -9,9 +9,18 @@ auto-refreshing page, alongside the loss history the Logger appends to
 ``losses.jsonl``.  Visdom's default port (8097) is kept.
 
 Endpoints:
-  GET /             dashboard page (windows + latest losses, auto-refresh)
-  GET /img/<name>   a window PNG, served no-cache
-  GET /losses.json  loss history: ``[{"epoch", "iter", "t", "losses"}, ...]``
+  GET /              dashboard page (windows + latest losses, auto-refresh)
+  GET /img/<name>    a window PNG, served no-cache
+  GET /windows.json  current window names (the page syncs its <img> list
+                     against this every tick, so windows that appear
+                     mid-run — or after the first compile — show up without
+                     a manual reload)
+  GET /losses.json   recent loss history (bounded tail of losses.jsonl):
+                     ``[{"epoch", "iter", "t", "losses"}, ...]``
+
+The server binds loopback by default; pass ``host="0.0.0.0"`` (CLI
+``--live-host`` / ``--host``) to expose it — the endpoints are
+unauthenticated, so widening the bind is an explicit opt-in.
 
 Usage — inside a trainer (``--live-port`` on the train CLIs)::
 
@@ -28,6 +37,7 @@ from __future__ import annotations
 import html
 import json
 import os
+import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
@@ -48,7 +58,27 @@ _PAGE = """<!doctype html>
 <table id="losses"><tr><td>waiting for losses.jsonl&hellip;</td></tr></table>
 <script>
 function bust(el) {{ el.src = el.dataset.base + '?t=' + Date.now(); }}
+async function syncWindows() {{
+  // windows appear mid-run (the first PNG lands only after the first
+  // compile + log step): sync the <img> list against the server each tick
+  const names = await (await fetch('/windows.json')).json();
+  const box = document.getElementById('wins');
+  const have = new Set([...box.querySelectorAll('.win')].map(w => w.dataset.n));
+  if (have.size === 0) box.innerHTML = '';  // drop the "no windows yet" note
+  for (const n of names) {{
+    if (have.has(n)) continue;
+    const span = document.createElement('span');
+    span.className = 'win'; span.dataset.n = n;
+    const cap = document.createElement('div'); cap.textContent = n;
+    const img = document.createElement('img');
+    img.dataset.base = '/img/' + encodeURIComponent(n);
+    span.append(cap, img); box.append(span);
+  }}
+  for (const w of box.querySelectorAll('.win'))
+    if (!names.includes(w.dataset.n)) w.remove();
+}}
 async function tick() {{
+  try {{ await syncWindows(); }} catch (e) {{}}
   document.querySelectorAll('img[data-base]').forEach(bust);
   try {{
     const rows = await (await fetch('/losses.json')).json();
@@ -86,8 +116,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _windows(self) -> List[str]:
         try:
+            # dotfiles excluded: the Logger writes each window atomically
+            # via a hidden ".name.png" temp + os.replace (utils/logging.py)
             names = sorted(f for f in os.listdir(self.run_dir)
-                           if f.endswith(".png"))
+                           if f.endswith(".png") and not f.startswith("."))
         except OSError:
             names = []
         return names
@@ -96,18 +128,37 @@ class _Handler(BaseHTTPRequestHandler):
         path = self.path.split("?", 1)[0]
         if path == "/":
             wins = "".join(
-                '<span class="win"><div>{n}</div>'
+                '<span class="win" data-n="{n}"><div>{n}</div>'
                 '<img data-base="/img/{n}" src="/img/{n}"></span>'
                 .format(n=html.escape(n)) for n in self._windows())
             body = _PAGE.format(dir=html.escape(self.run_dir),
                                 wins=wins or "<i>no windows yet</i>")
             self._send(200, "text/html; charset=utf-8", body.encode())
+        elif path == "/windows.json":
+            self._send(200, "application/json",
+                       json.dumps(self._windows()).encode())
         elif path == "/losses.json":
+            # bounded tail: the page shows the last 12 rows; shipping (and
+            # re-parsing) the full history every 2 s poll would grow without
+            # bound over a long run — read only the file's last ~128 KB
             rows = []
             try:
-                with open(os.path.join(self.run_dir, "losses.jsonl")) as f:
-                    rows = [json.loads(ln) for ln in f if ln.strip()]
-            except (OSError, ValueError):
+                with open(os.path.join(self.run_dir, "losses.jsonl"),
+                          "rb") as f:
+                    f.seek(0, os.SEEK_END)
+                    start = max(0, f.tell() - 131072)
+                    f.seek(start)
+                    chunk = f.read().decode("utf-8", "replace")
+                lines = chunk.splitlines()
+                if start > 0:
+                    lines = lines[1:]  # drop the line the seek cut mid-way
+                for ln in lines[-256:]:
+                    if ln.strip():
+                        try:
+                            rows.append(json.loads(ln))
+                        except ValueError:
+                            pass  # a row being appended concurrently
+            except OSError:
                 pass
             self._send(200, "application/json", json.dumps(rows).encode())
         elif path.startswith("/img/"):
@@ -124,6 +175,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, "text/plain", b"not found")
 
 
+class _QuietServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def handle_error(self, request, client_address):
+        # A browser abandoning a cache-busted image fetch mid-body is
+        # routine; socketserver's default handle_error would interleave a
+        # full traceback with the trainer's \r-rewritten progress line.
+        exc = sys.exc_info()[1]
+        if isinstance(exc, (BrokenPipeError, ConnectionResetError,
+                            TimeoutError)):
+            return
+        super().handle_error(request, client_address)
+
+
 class LiveView:
     """Threaded dashboard server over a Logger run directory.
 
@@ -133,10 +198,10 @@ class LiveView:
     """
 
     def __init__(self, run_dir: str, port: int = 8097,
-                 host: str = "0.0.0.0"):
+                 host: str = "127.0.0.1"):
         self.run_dir = run_dir
         handler = type("_BoundHandler", (_Handler,), {"run_dir": run_dir})
-        self._srv = ThreadingHTTPServer((host, port), handler)
+        self._srv = _QuietServer((host, port), handler)
         self.port = self._srv.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
@@ -154,17 +219,22 @@ class LiveView:
 
 
 def add_live_flag(parser) -> None:
-    """``--live-port`` for the train CLIs (shared help text)."""
+    """``--live-port`` / ``--live-host`` for the train CLIs."""
     parser.add_argument("--live-port", type=int, default=None,
                         help="serve a live dashboard (the Visdom-server "
                              "replacement) over the run directory on this "
                              "port while training; 0 = ephemeral port")
+    parser.add_argument("--live-host", type=str, default="127.0.0.1",
+                        help="dashboard bind address; the endpoints are "
+                             "unauthenticated, so exposing beyond loopback "
+                             "(e.g. 0.0.0.0) is an explicit opt-in")
 
 
 def maybe_start(args, run_dir: str = "runs/latest") -> Optional[LiveView]:
     """Start a LiveView if ``--live-port`` was given; caller stops it."""
     if getattr(args, "live_port", None) is None:
         return None
-    live = LiveView(run_dir, port=args.live_port).start()
+    live = LiveView(run_dir, port=args.live_port,
+                    host=getattr(args, "live_host", "127.0.0.1")).start()
     print(f"live dashboard: http://localhost:{live.port}/")
     return live

@@ -29,10 +29,16 @@ class Logger:
         self.image_dir = image_dir
         if image_dir:
             # run dirs (e.g. runs/latest) are reused across runs: start this
-            # run's loss history fresh, like Visdom's windows reset
-            hist = os.path.join(image_dir, "losses.jsonl")
-            if os.path.exists(hist):
-                os.remove(hist)
+            # run's loss history AND window set fresh, like Visdom's windows
+            # reset — otherwise the live dashboard presents the previous
+            # run's PNGs (possibly a different trainer's window names) as
+            # current
+            try:
+                for f in os.listdir(image_dir):
+                    if f.endswith((".png", ".jsonl")):
+                        os.remove(os.path.join(image_dir, f))
+            except OSError:
+                pass
 
     def log(self, nepoch: int, niter: int, losses: Optional[Dict] = None,
             images: Optional[Dict] = None, ver: str = "G2RGB") -> None:
@@ -63,7 +69,15 @@ class Logger:
                 if k in ("fake_AB", "real_B", "fake_BB") and ver == "G2LAB":
                     mode = "LAB"
                 img = vis.tensor2img(np.asarray(v), mode)
-                vis.save_png(os.path.join(self.image_dir, f"{k}.png"), img)
+                # atomic overwrite: LiveView may be serving this window
+                # concurrently, and a reader racing a plain in-place write
+                # would get a truncated PNG.  The hidden dot-name keeps the
+                # temp out of the dashboard's window list (and the .png
+                # suffix keeps PIL's format inference working).
+                final = os.path.join(self.image_dir, f"{k}.png")
+                tmp = os.path.join(self.image_dir, f".{k}.png")
+                vis.save_png(tmp, img)
+                os.replace(tmp, final)
 
 
 class StepTimer:

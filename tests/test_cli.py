@@ -81,10 +81,11 @@ class TestTrainTestVis:
             "--root", "Sat2Aerx1", "--data-dir", synth,
         ]
         df0 = test_cas.main(base + ["--result-dir", str(tmp_path / "r0")])
-        # batch-size 1 under mesh 2 pads every batch 1 -> 2: the pad row
-        # must not perturb the real samples' metrics or get saved
+        # default batch-size 1 is auto-raised to the mesh multiple (4), and
+        # the 2-sample test split is edge-padded 2 -> 4: pad rows must not
+        # perturb the real samples' metrics or get saved
         df1 = test_cas.main(base + [
-            "--result-dir", str(tmp_path / "r1"), "--mesh-size", "2"])
+            "--result-dir", str(tmp_path / "r1"), "--mesh-size", "4"])
         for col in ("MSE", "PSNR", "AE", "SSIM"):
             np.testing.assert_allclose(df1[col].iloc[-1], df0[col].iloc[-1],
                                        rtol=1e-5, atol=2e-5, err_msg=col)

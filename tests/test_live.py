@@ -57,6 +57,31 @@ class TestLiveView:
             rows = json.loads(body)
             assert [r["iter"] for r in rows] == [10, 20]
             assert rows[-1]["losses"]["loss_SR"] == pytest.approx(0.4)
+
+            # the page's per-tick window sync source: names track the dir,
+            # so windows appearing mid-run (after the first compile) show up
+            st, ct, body = _get(live.port, "/windows.json")
+            assert st == 200 and json.loads(body) == ["fake_B.png",
+                                                      "real_B.png"]
+            os.remove(os.path.join(run_dir, "real_B.png"))
+            _, _, body = _get(live.port, "/windows.json")
+            assert json.loads(body) == ["fake_B.png"]
+        finally:
+            live.stop()
+
+    def test_losses_tail_is_bounded(self, run_dir):
+        # a long run's history must not be re-shipped in full every poll
+        with open(os.path.join(run_dir, "losses.jsonl"), "w") as f:
+            f.writelines(
+                json.dumps({"epoch": 1, "iter": i, "t": float(i),
+                            "losses": {"loss_SR": i * 1e-4}}) + "\n"
+                for i in range(5000))
+        live = LiveView(run_dir, port=0, host="127.0.0.1").start()
+        try:
+            _, _, body = _get(live.port, "/losses.json")
+            rows = json.loads(body)
+            assert 0 < len(rows) <= 256
+            assert rows[-1]["iter"] == 4999  # tail, newest preserved
         finally:
             live.stop()
 
@@ -86,6 +111,8 @@ class TestLiveView:
         live = maybe_start(A(), run_dir)
         try:
             assert live is not None
+            # unauthenticated endpoints: default bind is loopback-only
+            assert live._srv.server_address[0] == "127.0.0.1"
             st, _, _ = _get(live.port, "/")
             assert st == 200
         finally:
@@ -114,4 +141,21 @@ class TestLoggerHistory:
         # image_dir=None never touches the filesystem
         Logger(10, 2, image_dir=None).log(
             nepoch=1, niter=1, losses={"x": 1.0})
+        capsys.readouterr()
+
+    def test_new_run_clears_stale_windows(self, tmp_path, capsys):
+        """A reused run dir must not present the previous run's windows
+        (possibly a different trainer's names) as live."""
+        d = str(tmp_path / "run")
+        lg = Logger(10, 1, image_dir=d)
+        img = np.zeros((1, 8, 8, 3), np.float32)
+        lg.log(1, 1, losses={"a": 1.0}, images={"recl_A": img})
+        assert os.path.exists(os.path.join(d, "recl_A.png"))
+
+        lg2 = Logger(10, 1, image_dir=d)
+        lg2.log(1, 1, losses={"b": 1.0}, images={"fake_B": img})
+        names = sorted(f for f in os.listdir(d) if f.endswith(".png"))
+        assert names == ["fake_B.png"]  # stale recl_A.png gone
+        # atomic-write temp never lingers
+        assert not [f for f in os.listdir(d) if f.startswith(".")]
         capsys.readouterr()
