@@ -57,6 +57,10 @@ def build_parser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize network activations (jax.checkpoint) "
                         "for large tiles / deep models")
+    p.add_argument("--augment", action="store_true",
+                   help="random per-sample D4 rotation/flip applied to both "
+                        "images of each training pair (deterministic per "
+                        "--seed/epoch; beyond-reference data augmentation)")
     p.add_argument("--workers", type=int, default=2,
                    help="host decode threads (reference DataLoader "
                         "num_workers=2, trainCas.py:187); 0 = in-line decode")
@@ -377,7 +381,7 @@ def _run(args, preempted):
         shardmap_loop = mesh is not None and args.space_size <= 1
         raw_iter = data.batches(trainset, args.batch_size, shuffle=True,
                                 seed=args.seed, epoch=epoch,
-                                workers=args.workers,
+                                workers=args.workers, augment=args.augment,
                                 drop_last=(dp_steps_u8 is not None
                                            or shardmap_loop))
         if args.steps_per_dispatch > 1:

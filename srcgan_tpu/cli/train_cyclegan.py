@@ -47,6 +47,10 @@ def build_parser():
                         "generator weights (e.g. 0.999) and save it under "
                         "<checkpoints>/ema/ — the eval/shipping copy")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--augment", action="store_true",
+                   help="random per-sample D4 rotation/flip applied to both "
+                        "images of each training pair (deterministic per "
+                        "--seed/epoch; beyond-reference data augmentation)")
     p.add_argument("--perceptual", type=str, default=None,
                    help="VGG16 weights (.npz from convert_vgg or torchvision "
                         ".pth) adding a perceptual term on the cycle "
@@ -229,6 +233,7 @@ def _run(args, preempted):
                     _stacked_blocks(
                         data.batches(trainset, args.batch_size, shuffle=True,
                                      seed=args.seed, epoch=epoch,
+                                     augment=args.augment,
                                      drop_last=mesh is not None),
                         args.steps_per_dispatch), sharding=blk_shard):
                 if args.device_pool:
@@ -281,6 +286,7 @@ def _run(args, preempted):
         for it, (src_u8, tar_u8, _) in enumerate(
                 data.batches(trainset, args.batch_size, shuffle=True,
                              seed=args.seed, epoch=epoch,
+                             augment=args.augment,
                              drop_last=mesh is not None)):
             if mesh is not None:
                 # shard the uint8 batch BEFORE the on-device conversion so

@@ -46,6 +46,10 @@ def build_parser():
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--checkpoints", type=str, default="./checkpoints")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--augment", action="store_true",
+                   help="random per-sample D4 rotation/flip applied to both "
+                        "images of each training pair (deterministic per "
+                        "--seed/epoch; beyond-reference data augmentation)")
     from srcgan_tpu.utils.live import add_live_flag
     add_live_flag(p)
     return p
@@ -111,6 +115,7 @@ def _run(args):
         for it, (src_u8, tar_u8, _) in enumerate(
                 data.batches(trainset, args.batch_size, shuffle=True,
                              seed=args.seed, epoch=epoch,
+                             augment=args.augment,
                              drop_last=mesh is not None)):
             if mesh is not None:
                 # shard the uint8 batch BEFORE the on-device conversion so

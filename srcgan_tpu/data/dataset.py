@@ -152,10 +152,34 @@ def load_dataset(root: str, ver: str = "G2RGB", mode: str = "training"):
 # Batch iteration (host side)
 # ---------------------------------------------------------------------------
 
+def dihedral(img: np.ndarray, op: int) -> np.ndarray:
+    """Apply D4 symmetry ``op`` (0..7) to an HWC array.
+
+    0..3 = rot90 CCW by k=op; 4/5 = horizontal/vertical flip; 6 = transpose;
+    7 = anti-transpose.  Ops 0, 2, 4, 5 preserve (H, W); the others swap the
+    spatial dims (only legal for square images inside a stacked batch).
+    """
+    if op == 0:
+        return img
+    if op < 4:
+        return np.rot90(img, k=op, axes=(0, 1))
+    if op == 4:
+        return img[:, ::-1]
+    if op == 5:
+        return img[::-1]
+    if op == 6:
+        return np.swapaxes(img, 0, 1)
+    return np.swapaxes(img, 0, 1)[::-1, ::-1]
+
+
+# D4 ops that keep (H, W) — the legal set for non-square imagery
+_SHAPE_PRESERVING_OPS = np.array([0, 2, 4, 5])
+
+
 def batches(dataset, batch_size: int, *, shuffle: bool = False,
             seed: int = 0, drop_last: bool = False, epoch: int = 0,
             host_id: int = 0, num_hosts: int = 1, workers: int = 0,
-            prefetch: int = 2,
+            prefetch: int = 2, augment: bool = False,
             ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (src_u8, tar_u8, idx) uint8 batches.  Deterministic per (seed,
     epoch).  For multi-host DP, each host passes its (host_id, num_hosts) and
@@ -166,6 +190,17 @@ def batches(dataset, batch_size: int, *, shuffle: bool = False,
     reference's ``DataLoader(num_workers=2)`` (trainCas.py:187), so a cold
     first epoch's PNG decode overlaps the device step instead of starving it
     (PIL decode releases the GIL).  Batch contents are identical to workers=0.
+
+    augment=True applies a per-sample random D4 symmetry (rotation/flip/
+    transpose) to BOTH images of the pair — the standard SR augmentation the
+    reference lacks (its loader has no transforms, trainCas.py:187-188).  The
+    same op on src and tar keeps the pair pixel-aligned (D4 commutes with the
+    uniform down/up-sampling between the domains).  Ops are drawn per
+    (seed, epoch, ORIGINAL dataset index), so the augmented stream is
+    deterministic and identical across worker counts and multi-host shards;
+    non-square imagery restricts to the four shape-preserving ops so batches
+    still stack.  Host-side on uint8 by design: a flip costs a memcpy of a
+    4x-compressed batch, vs new jit signatures on every train-step variant.
     """
     order = np.arange(len(dataset))
     if shuffle:
@@ -176,13 +211,30 @@ def batches(dataset, batch_size: int, *, shuffle: bool = False,
     stop = n - (n % batch_size) if drop_last else n
     starts = list(range(0, stop, batch_size))
 
+    aug_ops = None
+    if augment and len(dataset) > 0:
+        # keyed by original index: shard/worker/batch-boundary independent
+        aug_ops = np.random.default_rng(
+            np.random.SeedSequence([seed, epoch, 0xD4])
+        ).integers(0, 8, size=len(dataset))
+        s0, t0 = dataset.raw(0)
+        if s0.shape[0] != s0.shape[1] or t0.shape[0] != t0.shape[1]:
+            aug_ops = _SHAPE_PRESERVING_OPS[aug_ops % 4]
+
     def load(start):
         idxs = order[start:start + batch_size]
         if hasattr(dataset, "raw_batch"):
             src, tar = dataset.raw_batch(idxs)
-            return src, tar, idxs
-        srcs, tars = zip(*(dataset.raw(int(i)) for i in idxs))
-        return np.stack(srcs), np.stack(tars), idxs
+        else:
+            srcs, tars = zip(*(dataset.raw(int(i)) for i in idxs))
+            src, tar = np.stack(srcs), np.stack(tars)
+        if aug_ops is not None:
+            ops_b = aug_ops[np.asarray(idxs)]
+            src = np.ascontiguousarray(
+                np.stack([dihedral(a, int(o)) for a, o in zip(src, ops_b)]))
+            tar = np.ascontiguousarray(
+                np.stack([dihedral(a, int(o)) for a, o in zip(tar, ops_b)]))
+        return src, tar, idxs
 
     if workers <= 0:
         for s in starts:

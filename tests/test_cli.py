@@ -28,6 +28,7 @@ class TestTrainTestVis:
             "--num-epochs", "2", "--save-every", "2", "--log-every", "2",
             "--checkpoints", str(tmp_path / "ckpt"),
             "--live-port", "0",  # dashboard server lifecycle around a run
+            "--augment",  # D4 augmentation wired through the train loop
         ])
         netGA = str(tmp_path / "ckpt" / "ESPCN_A2C_x2_0002.npz")
         netGB = str(tmp_path / "ckpt" / "ResDeconv_C2B_x2_0002.npz")
