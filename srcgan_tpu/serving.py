@@ -33,8 +33,14 @@ class CascadePredictor:
 
     def __init__(self, sr_model, sr_params, c_model, c_params, up: int,
                  lab: bool = False, bf16: bool = False, pad_batch_to: int = 0,
-                 sr_state=None, c_state=None, int8: bool = False):
+                 sr_state=None, c_state=None, int8: bool = False,
+                 self_ensemble: bool = False):
         self.sr_model, self.c_model = sr_model, c_model
+        # geometric self-ensemble (x8 dihedral TTA, ops.ensemble): the D4
+        # copies run as ONE 8N-row batch through the fused program and the
+        # inverted outputs average in fp32 — a quality/throughput trade
+        # (~8x FLOPs) the reference protocol lacks
+        self.self_ensemble = self_ensemble
         # int8: post-training quantized serving (srcgan_tpu.quant) — per-
         # channel weight scales + calibrated activation scales; ~2x MXU rate
         # vs bf16 at this zoo's widths.  Requires calibrate() before predict.
@@ -81,18 +87,27 @@ class CascadePredictor:
             x = gray_u8.astype(jnp.float32) / 255.0
             if x.shape[-1] == 3:
                 x = ops.rgb_to_gray(x)
-            if self.bf16:
-                x = x.astype(jnp.bfloat16)
-            fake_c, _ = self.sr_model.apply(sr_params, x,
-                                            state=self.sr_state, train=False)
-            out, _ = self.c_model.apply(c_params, fake_c,
-                                        state=self.c_state, train=False)
-            out = out.astype(jnp.float32)
-            if self.lab:
-                lab_img = jnp.concatenate([fake_c.astype(jnp.float32), out], -1)
-                rgb = ops.lab_norm_to_rgb(lab_img)
+
+            def rgb_of(x32):
+                xin = x32.astype(jnp.bfloat16) if self.bf16 else x32
+                fake_c, _ = self.sr_model.apply(
+                    sr_params, xin, state=self.sr_state, train=False)
+                out, _ = self.c_model.apply(
+                    c_params, fake_c, state=self.c_state, train=False)
+                out = out.astype(jnp.float32)
+                if self.lab:
+                    lab_img = jnp.concatenate(
+                        [fake_c.astype(jnp.float32), out], -1)
+                    return ops.lab_norm_to_rgb(lab_img)
+                return jnp.clip(out, 0.0, 1.0)
+
+            if self.self_ensemble:
+                from srcgan_tpu.ops import ensemble
+
+                rgb = ensemble.self_ensemble_apply(rgb_of, x)
+                rgb = jnp.clip(rgb, 0.0, 1.0)
             else:
-                rgb = jnp.clip(out, 0.0, 1.0)
+                rgb = rgb_of(x)
             return jnp.round(rgb * 255.0).astype(jnp.uint8)
 
     def calibrate(self, gray_u8_batches) -> None:
@@ -181,6 +196,11 @@ class TiledPredictor(CascadePredictor):
     Scale is inferred from the first output tile, so resolution-preserving
     (Const) cascades stitch correctly too.  Scenes smaller than one tile in
     either dimension run as a single full-image program.
+
+    With ``self_ensemble=True`` the dihedral averaging is PER TILE (each
+    window is ensembled independently) — a valid TTA estimator, but not
+    bit-equal to ensembling the whole scene, since rotating a tile is not
+    rotating the scene.
     """
 
     def __init__(self, *args, tile: int = 256, overlap: int = 32,

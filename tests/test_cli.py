@@ -44,6 +44,15 @@ class TestTrainTestVis:
                                      "AE", "SSIM"]
         assert len(csv) == 1
         assert np.isfinite(csv["PSNR"].iloc[0])
+
+        # geometric self-ensemble eval (x8 dihedral TTA) appends its own row
+        test_cas.main([
+            "--netGA", netGA, "--netGB", netGB,
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--result-dir", str(tmp_path / "result"), "--self-ensemble",
+        ])
+        csv = pd.read_csv(tmp_path / "result" / "Performs.csv")
+        assert len(csv) == 2 and np.isfinite(csv["PSNR"].iloc[1])
         # per-sample PNGs for both domains
         outA = os.listdir(tmp_path / "result" / "A_ESPCN_x2_0002")
         assert sorted(outA) == ["test-0.png", "test-1.png"]
