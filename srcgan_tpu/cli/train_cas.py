@@ -118,6 +118,16 @@ def build_parser():
                         "(losses.py:344-393); 'random' = untrained VGG "
                         "(testing only)")
     p.add_argument("--perceptual-weight", type=float, default=1.0)
+    p.add_argument("--distill-netGA", type=str, default=None,
+                   help="teacher SR checkpoint (.npz/.pth): train this run's "
+                        "(smaller) --SRModel/--CModel as a student on "
+                        "alpha*L1(gt) + (1-alpha)*L1(teacher) per stage")
+    p.add_argument("--distill-netGB", type=str, default=None,
+                   help="teacher colorizer checkpoint (pairs with "
+                        "--distill-netGA)")
+    p.add_argument("--distill-alpha", type=float, default=0.5,
+                   help="weight on the ground-truth term (1 = pure "
+                        "supervision, 0 = pure teacher mimicry)")
     from srcgan_tpu.utils.live import add_live_flag
     add_live_flag(p)
     return p
@@ -201,13 +211,27 @@ def _run(args, preempted):
     if args.bf16 or args.bf16_acts:
         config.set_conv_precision("default")
     ver = "G2LAB" if args.lab else "G2RGB"
-    trainer = CasTrainer(sr_model=args.SRModel, c_model=args.CModel, up=args.up,
-                         lr=args.lr, const=args.const, lab=args.lab,
-                         lr_policy=args.lr_policy, num_epochs=args.num_epochs,
-                         remat=args.remat,
-                         perceptual_params=load_perceptual(args.perceptual),
-                         perceptual_weight=args.perceptual_weight,
-                         act_dtype=jnp.bfloat16 if args.bf16_acts else None)
+    cas_kwargs = dict(
+        sr_model=args.SRModel, c_model=args.CModel, up=args.up,
+        lr=args.lr, const=args.const, lab=args.lab,
+        lr_policy=args.lr_policy, num_epochs=args.num_epochs,
+        remat=args.remat,
+        perceptual_params=load_perceptual(args.perceptual),
+        perceptual_weight=args.perceptual_weight,
+        act_dtype=jnp.bfloat16 if args.bf16_acts else None)
+    if args.distill_netGA or args.distill_netGB:
+        if not (args.distill_netGA and args.distill_netGB):
+            raise SystemExit("--distill-netGA and --distill-netGB must be "
+                             "given together (a teacher cascade)")
+        from srcgan_tpu.train import DistillTrainer
+        trainer = DistillTrainer.from_checkpoints(
+            args.distill_netGA, args.distill_netGB,
+            alpha=args.distill_alpha, **cas_kwargs)
+        print(f"distilling from {os.path.basename(args.distill_netGA)} + "
+              f"{os.path.basename(args.distill_netGB)} "
+              f"(alpha={args.distill_alpha})")
+    else:
+        trainer = CasTrainer(**cas_kwargs)
     state = trainer.init(jax.random.PRNGKey(args.seed))
     start_epoch = 1
     state_path = os.path.join(args.checkpoints, "casstate_latest.npz")

@@ -1,6 +1,7 @@
 """Trainers: cascaded SR->colorize (CasSRC) and CycleGAN; optim + state."""
 from srcgan_tpu.train.cas import CasState, CasTrainer
 from srcgan_tpu.train.cyclegan import CycleGANTrainer, CycleState, ImagePool
+from srcgan_tpu.train.distill import DistillTrainer
 from srcgan_tpu.train.multitask import MultiTaskTrainer
 from srcgan_tpu.train import optim, state
 from srcgan_tpu.train.state import (
@@ -13,7 +14,7 @@ from srcgan_tpu.train.state import (
 
 __all__ = [
     "CasState", "CasTrainer", "CycleGANTrainer", "CycleState", "ImagePool",
-    "MultiTaskTrainer",
+    "DistillTrainer", "MultiTaskTrainer",
     "optim", "state", "TrainState", "checkpoint_name", "load_params",
     "parse_checkpoint_name", "save_params",
 ]

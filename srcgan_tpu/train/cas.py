@@ -108,6 +108,21 @@ class CasTrainer:
             return preprocess.degrade_const(x, self.up)
         return preprocess.degrade_bilinear(x, self.up)
 
+    def _stage_loss(self, pred, target, kd_target):
+        """Per-stage training loss (hook: DistillTrainer blends in
+        ``kd_target``, the frozen teacher's output, which is None here)."""
+        loss = losses.l1(pred, target)
+        if self.perceptual_params is not None:
+            from srcgan_tpu import losses_vgg
+            loss = loss + self.perceptual_weight * losses_vgg.vgg16_loss(
+                self.perceptual_params, pred, target)
+        return loss
+
+    def _distill_targets(self, sr_in, c_in):
+        """Hook: DistillTrainer returns the frozen teacher's per-stage
+        outputs on the same inputs; the base trainer has no teacher."""
+        return None, None
+
     def grads(self, state: CasState, realA, realB):
         """Per-shard gradient computation (pure; no update).
 
@@ -130,25 +145,18 @@ class CasTrainer:
             y, st2 = jax.checkpoint(f)(p, v) if self.remat else f(p, v)
             return y.astype(jnp.float32), st2
 
-        def _perceptual(y, t):
-            if self.perceptual_params is None:
-                return 0.0
-            from srcgan_tpu import losses_vgg
-            return self.perceptual_weight * losses_vgg.vgg16_loss(
-                self.perceptual_params, y, t)
+        kd_sr, kd_c = self._distill_targets(sr_in, c_in)
 
         def sr_loss(p, st):
             fake_BC, st2 = _apply(self.netG_A2C, p, sr_in, st)
-            loss = losses.l1(fake_BC, real_BC) + _perceptual(fake_BC, real_BC)
-            return loss, (fake_BC, st2)
+            return self._stage_loss(fake_BC, real_BC, kd_sr), (fake_BC, st2)
 
         (loss_sr, (fake_BC, sr_mstate)), g_sr = jax.value_and_grad(
             sr_loss, has_aux=True)(state.sr.params, state.sr_model_state)
 
         def c_loss(p, st):
             fake_BB, st2 = _apply(self.netG_C2B, p, c_in, st)
-            loss = losses.l1(fake_BB, tgt_B) + _perceptual(fake_BB, tgt_B)
-            return loss, (fake_BB, st2)
+            return self._stage_loss(fake_BB, tgt_B, kd_c), (fake_BB, st2)
 
         (loss_c, (fake_BB, c_mstate)), g_c = jax.value_and_grad(
             c_loss, has_aux=True)(state.c.params, state.c_model_state)

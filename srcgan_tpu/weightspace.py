@@ -112,13 +112,14 @@ def _unflatten(flat):
     return tree
 
 
-def load_checkpoint_params(path: str):
-    """Load ONE generator checkpoint (.npz ours / .pth reference) as a
-    params tree, building the model from the reference's name-encoded
-    config (testCas.py:41-53 convention) so torch state_dicts can be
-    imported without the caller naming the architecture.
+def load_checkpoint_model(path: str):
+    """Load ONE generator checkpoint (.npz ours / .pth reference), building
+    the model from the reference's name-encoded config (testCas.py:41-53
+    convention) so torch state_dicts can be imported without the caller
+    naming the architecture.
 
-    Returns (params, info-dict from parse_checkpoint_name).
+    Returns (model, params, model_state, info-dict from
+    parse_checkpoint_name).
     """
     from srcgan_tpu import models
     from srcgan_tpu.interop import load_params_any
@@ -130,5 +131,11 @@ def load_checkpoint_params(path: str):
         model = models.create(info["model"], 1, 1, info["up"])
     else:
         model = models.create(info["model"], 1, 2 if lab else 3)
-    params, _ = load_params_any(model, path)
+    params, mstate = load_params_any(model, path)
+    return model, params, mstate, info
+
+
+def load_checkpoint_params(path: str):
+    """load_checkpoint_model, returning just (params, info)."""
+    _, params, _, info = load_checkpoint_model(path)
     return params, info
