@@ -15,6 +15,13 @@ uint8->uint8 program, and this driver puts a production front on it:
                   the scene is cut into overlapping NxN windows, run through
                   one compiled tile shape, and stitched seam-free
                   (serving.TiledPredictor)
+  POST /reload    body = JSON {"netGA": path, "netGB": path} (either may be
+                  omitted to re-read the currently-served file) -> hot-swap
+                  the weights with ZERO downtime: same-architecture params
+                  are jit arguments, so no recompile; the install runs on
+                  the Batcher worker thread between device groups, so no
+                  request ever sees half-swapped weights.  Pairs with
+                  training epoch saves and cli.blend outputs.
   GET  /healthz   -> JSON liveness + model config
   GET  /stats     -> JSON counters (requests, batches, mean batch size,
                      latency quantiles over a sliding window)
@@ -165,6 +172,7 @@ class Batcher:
         self.max_wait_s = max_wait_s
         self._lock = threading.Condition()
         self._queues = defaultdict(deque)   # (h, w, c) -> deque[_Request]
+        self._control = deque()             # (fn, result_box, done_event)
         self._stop = False
         self.stats = {"requests": 0, "batches": 0, "batched_samples": 0,
                       "errors": 0}
@@ -194,6 +202,28 @@ class Batcher:
         return {"p50_s": round(q(0.5), 4), "p90_s": round(q(0.9), 4),
                 "p99_s": round(q(0.99), 4)}
 
+    def run_in_worker(self, fn, timeout: float = 60.0):
+        """Run ``fn()`` on the batching worker thread, between device groups.
+
+        The worker is the ONLY ``predict()`` caller, so predictor mutation
+        here (checkpoint hot-reload) is race-free by construction — no
+        group ever sees half-swapped weights.  Returns fn's result or
+        re-raises its exception in the calling thread.
+        """
+        done = threading.Event()
+        box = {}
+        with self._lock:
+            if self._stop:
+                raise ShuttingDown("server is shutting down")
+            self._control.append((fn, box, done))
+            self._lock.notify_all()
+        if not done.wait(timeout):
+            raise TimeoutError("batcher worker did not run the action "
+                               f"within {timeout}s")
+        if "err" in box:
+            raise box["err"]
+        return box.get("out")
+
     def close(self, drain: bool = True, timeout: float = 60.0):
         """Stop admitting requests; by default run every queued group first.
 
@@ -216,6 +246,11 @@ class Batcher:
                                      "request")
                 r.event.set()
         self._queues.clear()
+        for _, box, done in self._control:
+            box["err"] = ShuttingDown("server shut down before running this "
+                                      "action")
+            done.set()
+        self._control.clear()
 
     def _take_group(self):
         """Largest same-shape group, capped at max_batch (holds the lock)."""
@@ -230,20 +265,42 @@ class Batcher:
 
     def _run(self):
         while True:
+            ctl = group = None
             with self._lock:
-                while not self._stop and not any(self._queues.values()):
+                while (not self._stop and not any(self._queues.values())
+                       and not self._control):
                     self._lock.wait()
-                if self._stop and not any(self._queues.values()):
+                if self._control:
+                    # control actions jump the queue (a reload should not
+                    # wait out a deep backlog; already-running groups have
+                    # finished by construction)
+                    ctl = self._control.popleft()
+                elif self._stop and not any(self._queues.values()):
                     break  # drained: nothing queued remains
-                if not self._stop:
-                    # micro-batching window: wait for stragglers of any shape
-                    deadline = time.monotonic() + self.max_wait_s
-                    while (not self._stop
-                           and sum(map(len, self._queues.values()))
-                           < self.max_batch
-                           and time.monotonic() < deadline):
-                        self._lock.wait(timeout=deadline - time.monotonic())
-                group = self._take_group()
+                else:
+                    if not self._stop:
+                        # micro-batching window: wait for stragglers of any
+                        # shape
+                        deadline = time.monotonic() + self.max_wait_s
+                        while (not self._stop and not self._control
+                               and sum(map(len, self._queues.values()))
+                               < self.max_batch
+                               and time.monotonic() < deadline):
+                            self._lock.wait(
+                                timeout=deadline - time.monotonic())
+                        if self._control:
+                            ctl = self._control.popleft()
+                    if ctl is None:
+                        group = self._take_group()
+            if ctl is not None:
+                fn, box, done = ctl
+                try:
+                    box["out"] = fn()
+                except Exception as e:
+                    box["err"] = e
+                finally:
+                    done.set()
+                continue
             if not group:
                 continue
             try:
@@ -266,6 +323,8 @@ def make_handler(batcher, config, tiled=None, scene_gate=None):
     # scene requests are internally batched by TiledPredictor; a lock keeps
     # concurrent HTTP threads from interleaving big tile streams on-device
     tiled_lock = threading.Lock()
+    # serializes whole /reload operations (load + install + config update)
+    reload_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet; /stats has counters
@@ -296,6 +355,9 @@ def make_handler(batcher, config, tiled=None, scene_gate=None):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                self._reload()
+                return
             if self.path not in ("/predict", "/predict_scene"):
                 self._json(404, {"error": "unknown path"})
                 return
@@ -336,6 +398,39 @@ def make_handler(batcher, config, tiled=None, scene_gate=None):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except ShuttingDown as e:
+                self._json(503, {"error": str(e)})
+            except Exception as e:
+                self._json(400, {"error": str(e)})
+
+        def _reload(self):
+            """Checkpoint hot-reload: body = JSON {"netGA": …, "netGB": …}
+            (either may be omitted to re-read the currently-served path —
+            e.g. after a training run overwrote it, or after cli.blend).
+            Same architecture only; weights swap with zero recompilation
+            and no dropped requests (the install runs on the Batcher worker
+            between groups / under the scene lock)."""
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                if n < 0 or n > config["max_request_bytes"]:
+                    self.close_connection = True
+                    self._json(413, {"error": "request body too large"})
+                    return
+                body = json.loads(self.rfile.read(n) or b"{}")
+                with reload_lock:
+                    ga = body.get("netGA") or config["netGA"]
+                    gb = body.get("netGB") or config["netGB"]
+                    t0 = time.perf_counter()
+                    install = batcher.predictor.reload_checkpoints(ga, gb)
+                    batcher.run_in_worker(install)
+                    if tiled is not None:
+                        install_t = tiled.reload_checkpoints(ga, gb)
+                        with tiled_lock:
+                            install_t()
+                    config["netGA"], config["netGB"] = ga, gb
+                self._json(200, {"reloaded": True, "netGA": ga, "netGB": gb,
+                                 "seconds": round(
+                                     time.perf_counter() - t0, 3)})
             except ShuttingDown as e:
                 self._json(503, {"error": str(e)})
             except Exception as e:

@@ -79,6 +79,55 @@ class CascadePredictor:
         return cls(sr, sr_p, c, c_p, up, lab=lab, bf16=bf16,
                    sr_state=sr_st, c_state=c_st, **kw)
 
+    def reload_checkpoints(self, netGA: str, netGB: str):
+        """Hot-reload: load new weights for this predictor's EXACT
+        architecture and return a zero-arg installer thunk.
+
+        Loading, dtype casting and H2D transfer happen on the CALLING
+        thread; the returned ``install()`` only rebinds the param/state
+        attributes, so callers serialise installation with in-flight
+        ``predict`` calls however they like (the serve daemon runs it on
+        the Batcher worker thread / under its scene lock).  ``_run`` takes
+        the params as jit ARGUMENTS, so a same-architecture swap triggers
+        no recompilation — the new weights serve at full speed immediately.
+        """
+        if self.int8:
+            raise ValueError(
+                "int8 predictors cannot hot-reload: the calibrated "
+                "activation scales belong to the old weights — restart "
+                "the server and re-calibrate")
+        from srcgan_tpu.interop import load_params_any
+
+        infoA = parse_checkpoint_name(netGA)
+        infoB = parse_checkpoint_name(netGB)
+        if infoA["role"] != "A2C" or infoB["role"] != "C2B":
+            raise ValueError(
+                f"reload needs an (A2C, C2B) checkpoint pair; got "
+                f"{infoA['role']} + {infoB['role']}")
+        if infoA["up"] != self.up:
+            raise ValueError(f"checkpoint is x{infoA['up']} but this "
+                             f"predictor serves x{self.up}")
+        if (infoA["ver"] == "G2LAB") != self.lab:
+            raise ValueError(
+                f"checkpoint is {infoA['ver'] or 'G2RGB'} but this "
+                f"predictor serves {'G2LAB' if self.lab else 'G2RGB'}")
+        # load against the CURRENT model objects: the template catches any
+        # architecture/shape mismatch the filename convention can't encode
+        sr_p, sr_st = load_params_any(self.sr_model, netGA)
+        c_p, c_st = load_params_any(self.c_model, netGB)
+        dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        sr_p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), sr_p)
+        c_p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), c_p)
+
+        def install():
+            self.sr_params, self.c_params = sr_p, c_p
+            self.sr_state = (sr_st if sr_st is not None
+                             else self.sr_model.init_state())
+            self.c_state = (c_st if c_st is not None
+                            else self.c_model.init_state())
+
+        return install
+
     # -- the fused program ---------------------------------------------------
 
     @partial(jax.jit, static_argnums=0)

@@ -309,3 +309,117 @@ def test_negative_content_length_rejected(server):
     data = s.recv(4096)
     assert b" 413 " in data.split(b"\r\n")[0] + b" ", data[:80]
     s.close()
+
+
+def _post_json(port, path, obj, timeout=300):
+    import json as _json
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", path, body=_json.dumps(obj).encode(),
+                 headers={"Content-Type": "application/json"})
+    r = conn.getresponse()
+    body = _json.loads(r.read())
+    conn.close()
+    return r.status, body
+
+
+def test_reload_hot_swaps_weights(tmp_path):
+    """POST /reload: new same-architecture weights serve immediately (no
+    restart, no recompile path exercised end-to-end), /healthz follows,
+    and an architecture-mismatched checkpoint is a 400 that leaves the old
+    weights serving."""
+    sr = models.ESPCN(1, 1, 2)
+    c = models.ResDeconv(1, 3)
+    ck = {}
+    for seed, ep in ((0, 1), (1, 2)):
+        ga = os.path.join(str(tmp_path), checkpoint_name("ESPCN", "A2C", 2, ep))
+        gb = os.path.join(str(tmp_path),
+                          checkpoint_name("ResDeconv", "C2B", 2, ep))
+        save_params(ga, sr.init(jax.random.PRNGKey(seed)))
+        save_params(gb, c.init(jax.random.PRNGKey(seed + 10)))
+        ck[ep] = (ga, gb)
+    # an x4-named checkpoint for the mismatch case
+    bad = os.path.join(str(tmp_path), checkpoint_name("ESPCN", "A2C", 4, 1))
+    save_params(bad, sr.init(jax.random.PRNGKey(2)))
+
+    args = serve.build_parser().parse_args(
+        ["--netGA", ck[1][0], "--netGB", ck[1][1], "--port", "0",
+         "--max-batch", "4", "--pad-batch", "0"])
+    srv = serve.make_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        img = np.random.default_rng(3).integers(0, 256, (16, 16),
+                                                dtype=np.uint8)
+        status, _, data1 = _post_png(port, img)
+        assert status == 200
+        out1 = np.asarray(Image.open(io.BytesIO(data1)))
+
+        status, body = _post_json(port, "/reload",
+                                  {"netGA": ck[2][0], "netGB": ck[2][1]})
+        assert status == 200 and body["reloaded"], body
+        assert body["netGA"] == ck[2][0]
+
+        status, _, data2 = _post_png(port, img)
+        assert status == 200
+        out2 = np.asarray(Image.open(io.BytesIO(data2)))
+        assert not np.array_equal(out1, out2)  # different weights serve now
+
+        # healthz reflects the new checkpoint paths
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        import json as _json
+        h = _json.loads(conn.getresponse().read())
+        conn.close()
+        assert h["netGA"] == ck[2][0] and h["netGB"] == ck[2][1]
+
+        # arch mismatch: 400, and the (new) weights keep serving unchanged
+        status, body = _post_json(port, "/reload", {"netGA": bad})
+        assert status == 400 and "x4" in body["error"]
+        status, _, data3 = _post_png(port, img)
+        assert status == 200
+        assert np.array_equal(out2, np.asarray(Image.open(io.BytesIO(data3))))
+
+        # empty body = re-read the current paths: same weights, same output
+        status, body = _post_json(port, "/reload", {})
+        assert status == 200, body
+        status, _, data4 = _post_png(port, img)
+        assert np.array_equal(out2, np.asarray(Image.open(io.BytesIO(data4))))
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+
+
+def test_run_in_worker_is_serialized_with_groups():
+    """run_in_worker actions execute on the worker thread between device
+    groups and propagate results/exceptions to the caller."""
+    import time
+
+    seen = []
+
+    class P:
+        def predict(self, batch):
+            seen.append(("predict", threading.get_ident()))
+            time.sleep(0.02)
+            return batch
+
+    b = serve.Batcher(P(), max_batch=1, max_wait_s=0.0)
+    try:
+        out = b.submit(np.zeros((4, 4, 1), np.uint8))
+        assert out.shape == (4, 4, 1)
+
+        def action():
+            seen.append(("action", threading.get_ident()))
+            return 42
+
+        assert b.run_in_worker(action) == 42
+        # the action ran on the SAME thread as predict (the worker)
+        tids = {t for _, t in seen}
+        assert len(tids) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            b.run_in_worker(lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    finally:
+        b.close()
+    with pytest.raises(serve.ShuttingDown):
+        b.run_in_worker(lambda: None)
