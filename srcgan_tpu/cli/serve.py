@@ -21,7 +21,10 @@ uint8->uint8 program, and this driver puts a production front on it:
                   are jit arguments, so no recompile; the install runs on
                   the Batcher worker thread between device groups, so no
                   request ever sees half-swapped weights.  Pairs with
-                  training epoch saves and cli.blend outputs.
+                  training epoch saves and cli.blend outputs.  With
+                  --watch N the daemon polls the served files every N
+                  seconds and hot-reloads on change by itself (save_params
+                  writes atomically, so a poll never reads a torn file).
   GET  /healthz   -> JSON liveness + model config
   GET  /stats     -> JSON counters (requests, batches, mean batch size,
                      latency quantiles over a sliding window)
@@ -55,6 +58,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import threading
 import time
 from collections import defaultdict, deque
@@ -88,6 +92,11 @@ def build_parser():
                         "don't pay the ~20 s jit compile")
     p.add_argument("--max-request-mb", type=float, default=16.0,
                    help="reject request bodies larger than this with 413")
+    p.add_argument("--watch", type=float, default=0.0,
+                   help="poll the served checkpoint files every N seconds "
+                        "and hot-reload when they change on disk (0 = off) "
+                        "— follow a training run's epoch saves or cli.blend "
+                        "outputs with no operator action")
     p.add_argument("--tile", type=int, default=0,
                    help="enable POST /predict_scene: arbitrary-size scenes "
                         "served through one compiled NxN tile shape "
@@ -319,12 +328,79 @@ class Batcher:
                     r.event.set()
 
 
-def make_handler(batcher, config, tiled=None, scene_gate=None):
+def make_reloader(batcher, config, tiled, tiled_lock):
+    """A serialized do_reload(netGA, netGB) closure shared by the /reload
+    endpoint and the --watch poller.  None arguments mean "re-read the
+    currently-served path"."""
+    reload_lock = threading.Lock()
+
+    def do_reload(ga=None, gb=None):
+        with reload_lock:
+            ga = ga or config["netGA"]
+            gb = gb or config["netGB"]
+            install = batcher.predictor.reload_checkpoints(ga, gb)
+            batcher.run_in_worker(install)
+            if tiled is not None:
+                install_t = tiled.reload_checkpoints(ga, gb)
+                with tiled_lock:
+                    install_t()
+            config["netGA"], config["netGB"] = ga, gb
+            batcher.stats["reloads"] = batcher.stats.get("reloads", 0) + 1
+        return ga, gb
+
+    return do_reload
+
+
+def make_watcher(batcher, config, do_reload, interval: float):
+    """Daemon thread polling the served checkpoint files' (mtime_ns, size);
+    on change, hot-reload through ``do_reload``.  Load failures (e.g. a
+    non-atomic external writer caught mid-write) count as watch_errors and
+    retry on the next tick — the old weights keep serving.  Returns a stop
+    Event."""
+    stop = threading.Event()
+
+    def sig():
+        try:
+            out = []
+            for p in (config["netGA"], config["netGB"]):
+                st = os.stat(p)
+                out.append((st.st_mtime_ns, st.st_size))
+            return tuple(out)
+        except OSError:
+            return None
+
+    def loop():
+        last = sig()
+        while not stop.wait(interval):
+            cur = sig()
+            if cur is None or cur == last:
+                continue
+            try:
+                do_reload()
+                last = sig()
+                batcher.stats["watch_reloads"] = (
+                    batcher.stats.get("watch_reloads", 0) + 1)
+                print(f"watch: reloaded {config['netGA']} + "
+                      f"{config['netGB']}")
+            except ShuttingDown:
+                return
+            except Exception as e:  # noqa: BLE001 - keep serving old weights
+                batcher.stats["watch_errors"] = (
+                    batcher.stats.get("watch_errors", 0) + 1)
+                print(f"watch: reload failed ({e}); retrying next tick")
+
+    threading.Thread(target=loop, daemon=True, name="ckpt-watch").start()
+    return stop
+
+
+def make_handler(batcher, config, tiled=None, scene_gate=None,
+                 do_reload=None, tiled_lock=None):
     # scene requests are internally batched by TiledPredictor; a lock keeps
     # concurrent HTTP threads from interleaving big tile streams on-device
-    tiled_lock = threading.Lock()
-    # serializes whole /reload operations (load + install + config update)
-    reload_lock = threading.Lock()
+    if tiled_lock is None:
+        tiled_lock = threading.Lock()
+    if do_reload is None:
+        do_reload = make_reloader(batcher, config, tiled, tiled_lock)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet; /stats has counters
@@ -417,17 +493,8 @@ def make_handler(batcher, config, tiled=None, scene_gate=None):
                     self._json(413, {"error": "request body too large"})
                     return
                 body = json.loads(self.rfile.read(n) or b"{}")
-                with reload_lock:
-                    ga = body.get("netGA") or config["netGA"]
-                    gb = body.get("netGB") or config["netGB"]
-                    t0 = time.perf_counter()
-                    install = batcher.predictor.reload_checkpoints(ga, gb)
-                    batcher.run_in_worker(install)
-                    if tiled is not None:
-                        install_t = tiled.reload_checkpoints(ga, gb)
-                        with tiled_lock:
-                            install_t()
-                    config["netGA"], config["netGB"] = ga, gb
+                t0 = time.perf_counter()
+                ga, gb = do_reload(body.get("netGA"), body.get("netGB"))
                 self._json(200, {"reloaded": True, "netGA": ga, "netGB": gb,
                                  "seconds": round(
                                      time.perf_counter() - t0, 3)})
@@ -496,11 +563,17 @@ def make_server(args) -> ThreadingHTTPServer:
               **({"tile": args.tile, "tile_overlap": args.tile_overlap}
                  if args.tile else {})}
     scene_gate = SceneGate() if tiled is not None else None
+    tiled_lock = threading.Lock()
+    do_reload = make_reloader(batcher, config, tiled, tiled_lock)
     srv = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(batcher, config, tiled=tiled, scene_gate=scene_gate))
+        make_handler(batcher, config, tiled=tiled, scene_gate=scene_gate,
+                     do_reload=do_reload, tiled_lock=tiled_lock))
     srv.batcher = batcher
     srv.scene_gate = scene_gate
+    srv.do_reload = do_reload
+    srv.watch_stop = (make_watcher(batcher, config, do_reload, args.watch)
+                      if args.watch > 0 else None)
     return srv
 
 
@@ -523,6 +596,8 @@ def main(argv=None):
         pass
     finally:
         signal.signal(signal.SIGTERM, prev)
+        if srv.watch_stop is not None:
+            srv.watch_stop.set()
         srv.batcher.close()
         if srv.scene_gate is not None:
             srv.scene_gate.close()  # wait out in-flight tiled scenes too

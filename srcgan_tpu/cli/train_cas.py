@@ -46,6 +46,11 @@ def build_parser():
                    help="with --mesh-size: extra mesh axis sharding image "
                         "height (2-D data x space mesh; GSPMD halo exchange) "
                         "for per-sample resolutions beyond one chip's HBM")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3/FSDP over the --mesh-size data mesh: params "
+                        "AND Adam moments stored row-sharded (12/D bytes/"
+                        "param at rest vs ZeRO-1's 4+8/D); per-step gather, "
+                        "same ICI volume as plain DP")
     p.add_argument("--zero-opt", action="store_true",
                    help="with --mesh-size: ZeRO-1 optimizer-state sharding — "
                         "grads reduce-scattered, Adam moments and update on "
@@ -237,18 +242,27 @@ def _run(args, preempted):
     state_path = os.path.join(args.checkpoints, "casstate_latest.npz")
 
     mesh = None
-    if args.zero_opt:
-        # ZeRO-1: the opt_state slot holds row-sharded (mu, nu) arrays, so
-        # the state template and step wrapper differ from the
-        # replicated-optax branches below.
+    fsdp_shapes = None
+    if args.zero_opt or args.fsdp:
+        # sharded-state layouts: ZeRO-1 shards the (mu, nu) moments, FSDP
+        # additionally shards the params at rest — both need their own
+        # state templates and step wrappers vs the replicated-optax
+        # branches below.
+        if args.zero_opt and args.fsdp:
+            raise SystemExit("--zero-opt and --fsdp are mutually exclusive "
+                             "(FSDP subsumes the moment sharding)")
+        which = "--fsdp" if args.fsdp else "--zero-opt"
         if args.mesh_size <= 1 or args.space_size > 1:
-            raise SystemExit("--zero-opt requires a 1-D --mesh-size data "
+            raise SystemExit(f"{which} requires a 1-D --mesh-size data "
                              "mesh (no --space-size)")
         if args.ema_decay > 0 or args.grad_accum > 1:
-            raise SystemExit("--zero-opt composes with the plain DP loop "
+            raise SystemExit(f"{which} composes with the plain DP loop "
                              "(not --ema-decay/--grad-accum)")
         mesh = parallel.make_mesh((args.mesh_size,), ("data",))
-        state = parallel.zero1_from_state(state, mesh)
+        if args.fsdp:
+            state, fsdp_shapes = parallel.fsdp_from_state(state, mesh)
+        else:
+            state = parallel.zero1_from_state(state, mesh)
     if args.mesh_size > 1 and args.batch_size % args.mesh_size:
         # every mesh path shards the batch dim over 'data' (shard_map needs
         # exact divisibility; GSPMD would silently pad — reject both)
@@ -262,12 +276,20 @@ def _run(args, preempted):
         # orbax composes naturally: the zero state IS a sharded target, so
         # saves are per-shard and restore places moments sharded with no
         # gather (the orbax block below restores into this state's shardings)
-        state = parallel.zero1_put(raw, mesh) if args.zero_opt else raw
+        if args.fsdp:
+            state = parallel.fsdp_put(raw, mesh)
+        elif args.zero_opt:
+            state = parallel.zero1_put(raw, mesh)
+        else:
+            state = raw
         start_epoch = int(extra.get("epoch", 0)) + 1
         print(f"resumed from {state_path} at epoch {start_epoch}")
 
     if args.zero_opt:
         step = (parallel.make_cas_zero1_step(trainer, mesh)
+                if args.steps_per_dispatch == 1 else None)
+    elif args.fsdp:
+        step = (parallel.make_cas_fsdp_step(trainer, mesh, fsdp_shapes)
                 if args.steps_per_dispatch == 1 else None)
     elif args.mesh_size > 1 and args.space_size > 1:
         mesh = parallel.make_mesh((args.mesh_size, args.space_size),
@@ -306,9 +328,13 @@ def _run(args, preempted):
             # — the production multi-chip loop (batch divisibility was
             # validated above; the ragged tail batch is dropped via
             # drop_last so every block is uniformly (K', batch_size, ...)).
-            dp_steps_u8 = (parallel.make_cas_zero1_steps_u8(trainer, mesh)
-                           if args.zero_opt else
-                           parallel.make_cas_dp_steps_u8(trainer, mesh))
+            if args.zero_opt:
+                dp_steps_u8 = parallel.make_cas_zero1_steps_u8(trainer, mesh)
+            elif args.fsdp:
+                dp_steps_u8 = parallel.make_cas_fsdp_steps_u8(
+                    trainer, mesh, fsdp_shapes)
+            else:
+                dp_steps_u8 = parallel.make_cas_dp_steps_u8(trainer, mesh)
             from jax.sharding import NamedSharding, PartitionSpec
             dp_blk_sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
 
@@ -365,6 +391,26 @@ def _run(args, preempted):
         print(f"\nSIGTERM: train state saved to {dest} "
               f"(resume with --resume); exiting")
 
+    def _host_params():
+        """(sr, c) params in ORIGINAL leaf shapes on host — the FSDP layout
+        stores row-sharded 2-D leaves that save/eval tooling can't use."""
+        if fsdp_shapes is not None:
+            return (parallel.fsdp_full_params(state.sr.params,
+                                              fsdp_shapes["sr"]),
+                    parallel.fsdp_full_params(state.c.params,
+                                              fsdp_shapes["c"]))
+        return jax.device_get(state.sr.params), jax.device_get(state.c.params)
+
+    def _snapshot(realA, realB):
+        if fsdp_shapes is None:
+            return trainer.snapshot(state, realA, realB)
+        from srcgan_tpu.train.cas import CasState as _CS
+        from srcgan_tpu.train.state import TrainState as _TS
+        sr_p, c_p = _host_params()
+        snap = _CS(_TS(sr_p, None, 0), _TS(c_p, None, 0),
+                   state.sr_model_state, state.c_model_state)
+        return trainer.snapshot(snap, realA, realB)
+
     def _save_epoch_checkpoints(epoch, mean_psnr):
         # reads the loop-current `state`/`ema` bindings (closure over _run)
         os.makedirs(args.checkpoints, exist_ok=True)
@@ -373,8 +419,9 @@ def _run(args, preempted):
             args.SRModel, "A2C", args.up, epoch, ver=lab_ver))
         netGB = os.path.join(args.checkpoints, checkpoint_name(
             args.CModel, "C2B", args.up, epoch, ver=lab_ver))
-        save_params(netGA, jax.device_get(state.sr.params))
-        save_params(netGB, jax.device_get(state.c.params))
+        sr_host, c_host = _host_params()
+        save_params(netGA, sr_host)
+        save_params(netGB, c_host)
         if ema is not None:
             ema_dir = os.path.join(args.checkpoints, "ema")
             os.makedirs(ema_dir, exist_ok=True)
@@ -442,8 +489,7 @@ def _run(args, preempted):
                         logger.log(nepoch=epoch, niter=it,
                                    losses={k: float(np.mean(v))
                                            for k, v in window.items()},
-                                   images=trainer.snapshot(state, realA,
-                                                           realB),
+                                   images=_snapshot(realA, realB),
                                    ver=ver)
                         window = {k: [] for k in window}
             mean_psnr = float(np.mean(epoch_psnr)) if epoch_psnr else float("nan")
@@ -490,7 +536,7 @@ def _run(args, preempted):
                 realA, realB = preprocess.convert_pair(src_u8, tar_u8, ver)
                 logger.log(nepoch=epoch, niter=it,
                            losses={k: float(np.mean(v)) for k, v in window.items()},
-                           images=trainer.snapshot(state, realA, realB), ver=ver)
+                           images=_snapshot(realA, realB), ver=ver)
                 window = {k: [] for k in window}
         mean_psnr = float(np.mean(epoch_psnr)) if epoch_psnr else float("nan")
         stop = stopper.update(mean_psnr)

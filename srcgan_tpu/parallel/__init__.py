@@ -23,6 +23,15 @@ from srcgan_tpu.parallel.zero import (
     zero1_opt_bytes_per_device,
     zero1_put,
 )
+from srcgan_tpu.parallel.fsdp import (
+    fsdp_from_state,
+    fsdp_full_params,
+    fsdp_init,
+    fsdp_put,
+    fsdp_state_bytes_per_device,
+    make_cas_fsdp_step,
+    make_cas_fsdp_steps_u8,
+)
 from srcgan_tpu.parallel.tp import (
     make_cas_tp_step,
     make_tp_infer,
@@ -45,6 +54,9 @@ __all__ = [
     "make_cas_zero1_step", "make_cas_zero1_steps_u8",
     "zero1_from_state", "zero1_init",
     "zero1_opt_bytes_per_device", "zero1_put",
+    "fsdp_from_state", "fsdp_full_params", "fsdp_init", "fsdp_put",
+    "fsdp_state_bytes_per_device", "make_cas_fsdp_step",
+    "make_cas_fsdp_steps_u8",
     "make_cas_tp_step", "make_tp_infer", "tp_param_shardings",
     "tp_shard_params", "make_cascade_pipeline_infer",
     "make_rddb_trunk_pipeline_infer", "make_trunk_pipeline_train",

@@ -44,9 +44,22 @@ def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
 
 
 def save_params(path: str, params) -> None:
-    """Save a parameter pytree (nested dicts of arrays) as .npz."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **_flatten(params))
+    """Save a parameter pytree (nested dicts of arrays) as .npz.
+
+    Atomic: writes to a temp file in the same directory and os.replace()s
+    it over ``path``, so concurrent readers (cli.serve --watch polling for
+    new epochs, eval jobs on a shared filesystem) never see a partial file,
+    and a SIGKILL mid-save never corrupts the previous checkpoint."""
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **_flatten(params))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load_params(path: str, like=None):
@@ -132,8 +145,19 @@ def save_train_state(path: str, state, extra: Optional[Dict[str, Any]] = None
     flat = _flatten(state)
     for k, v in (extra or {}).items():
         flat[f"__extra__/{k}"] = np.asarray(v)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **flat)
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # atomic for the same reasons as save_params: casstate_latest.npz is
+    # overwritten every epoch AND on SIGTERM — a crash mid-write must not
+    # destroy the only resume point
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load_train_state(path: str, like) -> Tuple[Any, Dict[str, Any]]:

@@ -767,3 +767,123 @@ class TestTrunkPipeline:
             parallel.make_rddb_trunk_pipeline_infer(m, mesh)
         with pytest.raises(ValueError, match="nb=3"):
             parallel.make_trunk_pipeline_train(m, mesh)
+
+
+class TestFSDP:
+    def test_fsdp_matches_plain_dp(self):
+        """FSDP (params AND moments row-sharded at rest; per-step gather ->
+        fwd/bwd -> psum_scatter -> sharded Adam, no end gather) must be the
+        same math as plain DP + optax.adam.  Three steps exercise the moment
+        recursions and bias corrections past their initializations."""
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        mesh = parallel.make_mesh()
+        realA, realB = make_batch(8)
+        a, b = parallel.put_batch(realA, mesh), parallel.put_batch(realB, mesh)
+
+        st_dp = parallel.put_replicated(tr.init(jax.random.PRNGKey(0)), mesh)
+        dp_step = parallel.make_cas_dp_step(tr, mesh)
+        st_f, shapes = parallel.fsdp_init(tr, jax.random.PRNGKey(0), mesh)
+        f_step = parallel.make_cas_fsdp_step(tr, mesh, shapes)
+
+        # at rest each device holds only its own 1/D param rows
+        d = mesh.shape["data"]
+        leaf = jax.tree_util.tree_leaves(st_f.sr.params)[0]
+        assert leaf.shape[0] == d
+        shard_rows = leaf.addressable_shards[0].data.shape[0]
+        assert shard_rows == 1  # (1, chunk) per device
+
+        for _ in range(3):
+            st_dp, m_dp = dp_step(st_dp, a, b, 1e-4)
+            st_f, m_f = f_step(st_f, a, b, 1e-4)
+
+        np.testing.assert_allclose(float(m_dp["loss_SR"]),
+                                   float(m_f["loss_SR"]), rtol=1e-4)
+        np.testing.assert_allclose(float(m_dp["loss_C"]),
+                                   float(m_f["loss_C"]), rtol=1e-4)
+        # same envelope as the ZeRO-1 equivalence (cross-device reduction
+        # order through Adam's eps normalization)
+        full_sr = parallel.fsdp_full_params(st_f.sr.params, shapes["sr"])
+        full_c = parallel.fsdp_full_params(st_f.c.params, shapes["c"])
+        tree_allclose(st_dp.sr.params, full_sr, atol=5e-4)
+        tree_allclose(st_dp.c.params, full_c, atol=5e-4)
+        assert int(st_f.sr.step) == 3
+
+    def test_fsdp_put_roundtrip_and_bytes(self):
+        """Host round-trip (checkpoint resume path) preserves the layout,
+        and the at-rest accounting reports ~12/D bytes/param."""
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        mesh = parallel.make_mesh()
+        st_f, shapes = parallel.fsdp_init(tr, jax.random.PRNGKey(1), mesh)
+        host = jax.device_get(st_f)
+        back = parallel.fsdp_put(host, mesh)
+        tree_allclose(st_f.sr.params, back.sr.params, atol=0)
+        leaf = jax.tree_util.tree_leaves(back.sr.params)[0]
+        assert leaf.addressable_shards[0].data.shape[0] == 1
+
+        params = tr.init(jax.random.PRNGKey(1)).sr.params
+        per_dev = parallel.fsdp_state_bytes_per_device(params, mesh)
+        total = sum(p.size * p.dtype.itemsize
+                    for p in jax.tree_util.tree_leaves(params))
+        d = mesh.shape["data"]
+        assert per_dev <= 3 * total / d * 1.1  # 12/D bytes/param + padding
+
+    def test_fsdp_steps_u8_match_plain_dp_steps(self):
+        """FSDP x steps-per-dispatch tracks the plain-DP scanned program on
+        the same uint8 blocks."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        mesh = parallel.make_mesh()
+        k, n, size = 2, 8, 16
+        rng = np.random.default_rng(3)
+        src = rng.integers(0, 256, (k, n, size, size, 3), dtype=np.uint8)
+        tar = rng.integers(0, 256, (k, n, size, size, 3), dtype=np.uint8)
+        blk = NamedSharding(mesh, P(None, "data"))
+        src_d = jax.device_put(src, blk)
+        tar_d = jax.device_put(tar, blk)
+
+        st_dp = parallel.put_replicated(tr.init(jax.random.PRNGKey(0)), mesh)
+        dp_steps = parallel.make_cas_dp_steps_u8(tr, mesh)
+        st_f, shapes = parallel.fsdp_init(tr, jax.random.PRNGKey(0), mesh)
+        f_steps = parallel.make_cas_fsdp_steps_u8(tr, mesh, shapes)
+
+        st_dp, m_dp = dp_steps(st_dp, src_d, tar_d, 1e-4)
+        st_f, m_f = f_steps(st_f, jax.device_put(src, blk),
+                            jax.device_put(tar, blk), 1e-4)
+        np.testing.assert_allclose(np.asarray(m_dp["loss_SR"]),
+                                   np.asarray(m_f["loss_SR"]), rtol=1e-4)
+        full_sr = parallel.fsdp_full_params(st_f.sr.params, shapes["sr"])
+        tree_allclose(st_dp.sr.params, full_sr, atol=5e-4)
+        assert int(st_f.sr.step) == k
+
+    def test_cli_fsdp_flag(self, tmp_path, monkeypatch):
+        """--fsdp end-to-end through the training driver: epoch checkpoints
+        come out in ORIGINAL leaf shapes (fsdp_full_params save path) and
+        --resume round-trips the row-sharded state (fsdp_put)."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu import data
+        from srcgan_tpu.cli import train_cas
+        from srcgan_tpu.train.state import load_params
+
+        data.make_synthetic_dataset(str(tmp_path / "ds" / "Sat2Aerx1"),
+                                    n_train=8, n_val=1, n_test=1, size=32)
+        common = [
+            "--SRModel", "ESPCN", "--CModel", "ResDeconv", "--up", "2",
+            "--root", "Sat2Aerx1", "--data-dir", str(tmp_path / "ds"),
+            "--batch-size", "8", "--mesh-size", "8", "--fsdp",
+            "--save-every", "1", "--log-every", "1",
+            "--checkpoints", str(tmp_path / "ckpt"),
+        ]
+        train_cas.main(common + ["--num-epochs", "1"])
+        ck = tmp_path / "ckpt" / "ESPCN_A2C_x2_0001.npz"
+        assert ck.exists()
+        # original shapes: loadable against a fresh model template
+        m = models.create("ESPCN", 1, 1, 2)
+        like = m.init(jax.random.PRNGKey(0))
+        loaded = load_params(str(ck), like=like)
+        for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                        jax.tree_util.tree_leaves(like)):
+            assert a.shape == b.shape
+        # resume continues into epoch 2 from the row-sharded state
+        train_cas.main(common + ["--num-epochs", "2", "--resume"])
+        assert (tmp_path / "ckpt" / "ESPCN_A2C_x2_0002.npz").exists()

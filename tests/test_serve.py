@@ -423,3 +423,47 @@ def test_run_in_worker_is_serialized_with_groups():
         b.close()
     with pytest.raises(serve.ShuttingDown):
         b.run_in_worker(lambda: None)
+
+
+def test_watch_auto_reloads_on_file_change(tmp_path):
+    """--watch N: overwriting the served checkpoint file on disk (atomic
+    save_params, as the trainers do each epoch) is picked up by the poller
+    and new weights serve with no operator action."""
+    import time
+
+    sr = models.ESPCN(1, 1, 2)
+    c = models.ResDeconv(1, 3)
+    ga = os.path.join(str(tmp_path), checkpoint_name("ESPCN", "A2C", 2, 1))
+    gb = os.path.join(str(tmp_path), checkpoint_name("ResDeconv", "C2B", 2, 1))
+    save_params(ga, sr.init(jax.random.PRNGKey(0)))
+    save_params(gb, c.init(jax.random.PRNGKey(10)))
+    args = serve.build_parser().parse_args(
+        ["--netGA", ga, "--netGB", gb, "--port", "0", "--pad-batch", "0",
+         "--watch", "0.1"])
+    srv = serve.make_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        img = np.random.default_rng(4).integers(0, 256, (16, 16),
+                                                dtype=np.uint8)
+        status, _, d1 = _post_png(port, img)
+        assert status == 200
+        out1 = np.asarray(Image.open(io.BytesIO(d1)))
+
+        # a "training run" overwrites the served files with new weights
+        save_params(ga, sr.init(jax.random.PRNGKey(1)))
+        save_params(gb, c.init(jax.random.PRNGKey(11)))
+        deadline = time.monotonic() + 20
+        while (srv.batcher.stats.get("watch_reloads", 0) < 1
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+        assert srv.batcher.stats.get("watch_reloads", 0) >= 1
+
+        status, _, d2 = _post_png(port, img)
+        assert status == 200
+        assert not np.array_equal(out1, np.asarray(Image.open(io.BytesIO(d2))))
+    finally:
+        srv.watch_stop.set()
+        srv.shutdown()
+        srv.batcher.close()

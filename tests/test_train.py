@@ -977,3 +977,25 @@ class TestPooledStepsPerDispatch:
         for k in ("fake_A", "fake_B"):
             np.testing.assert_allclose(np.asarray(imgs[k]), auxs[-1][k],
                                        atol=1e-3)
+
+
+def test_save_params_is_atomic_tempfile(tmp_path):
+    """save_params/save_train_state write temp+rename: overwriting an
+    existing checkpoint leaves no .tmp litter and the destination is always
+    a complete file (cli.serve --watch and SIGKILL-mid-save both rely on
+    this)."""
+    import jax
+
+    from srcgan_tpu import models
+    from srcgan_tpu.train.state import load_params, save_params
+
+    m = models.create("ESPCN", 1, 1, 2, base_kernel=8)
+    p1 = jax.device_get(m.init(jax.random.PRNGKey(0)))
+    p2 = jax.device_get(m.init(jax.random.PRNGKey(1)))
+    path = str(tmp_path / "ESPCN_A2C_x2_0001.npz")
+    save_params(path, p1)
+    save_params(path, p2)  # overwrite via os.replace
+    got = load_params(path, like=p1)
+    leaf = jax.tree_util.tree_leaves
+    np.testing.assert_array_equal(leaf(got)[0], leaf(p2)[0])
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
