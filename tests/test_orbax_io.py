@@ -103,3 +103,33 @@ def test_zero1_state_round_trips_sharded(tmp_path):
     st2, m2 = step(got, parallel.put_batch(src, mesh),
                    parallel.put_batch(tar, mesh), 1e-3)
     assert np.isfinite(float(m2["loss_SR"]))
+
+
+def test_fsdp_state_round_trips_sharded(tmp_path):
+    """FSDP state through orbax: params AND moments are (D, chunk)
+    row-sharded at rest; orbax saves per-shard and restores INTO that
+    layout with no gather — the --fsdp x --orbax-dir composition."""
+    tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+    mesh = parallel.make_mesh()
+    st, shapes = parallel.fsdp_init(tr, jax.random.PRNGKey(0), mesh)
+    step = parallel.make_cas_fsdp_step(tr, mesh, shapes)
+    rng = np.random.default_rng(0)
+    tar = jnp.asarray(rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32))
+    src = jnp.asarray((np.asarray(tar) @ np.array(
+        [0.2125, 0.7154, 0.0721], np.float32))[..., None])
+    st, _ = step(st, parallel.put_batch(src, mesh),
+                 parallel.put_batch(tar, mesh), 1e-3)
+
+    d = str(tmp_path / "ckf")
+    save_train_state_orbax(d, 1, st, {"epoch": 1})
+    like, _ = parallel.fsdp_init(tr, jax.random.PRNGKey(1), mesh)
+    got, extra = load_train_state_orbax(d, like)
+    assert extra == {"epoch": 1}
+    tree_equal(st, got)
+    # params land physically row-sharded again (the FSDP-specific property)
+    leaf = jax.tree_util.tree_leaves(got.sr.params)[0]
+    assert all(s.data.shape[0] == 1 for s in leaf.addressable_shards)
+    # and the restored state takes another step
+    st2, m2 = step(got, parallel.put_batch(src, mesh),
+                   parallel.put_batch(tar, mesh), 1e-3)
+    assert np.isfinite(float(m2["loss_SR"]))
