@@ -28,6 +28,8 @@ uint8->uint8 program, and this driver puts a production front on it:
   GET  /healthz   -> JSON liveness + model config
   GET  /stats     -> JSON counters (requests, batches, mean batch size,
                      latency quantiles over a sliding window)
+  GET  /metrics   -> the same counters in Prometheus text exposition
+                     format (srcgan_* counters/gauges) for scraping
 
 Requests are micro-batched: a collector thread groups same-shaped requests
 for up to --max-wait-ms (or --max-batch), runs ONE fused device program per
@@ -414,19 +416,42 @@ def make_handler(batcher, config, tiled=None, scene_gate=None,
             self.end_headers()
             self.wfile.write(body)
 
+        def _collect_stats(self):
+            s = dict(batcher.stats)
+            if s["batches"]:
+                s["mean_batch"] = round(
+                    s["batched_samples"] / s["batches"], 2)
+            s.update(batcher.latency_quantiles())
+            if scene_gate is not None:
+                s.update(scene_gate.stats)
+                s.update(scene_gate.latency_quantiles())
+            return s
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, **config})
             elif self.path == "/stats":
-                s = dict(batcher.stats)
-                if s["batches"]:
-                    s["mean_batch"] = round(
-                        s["batched_samples"] / s["batches"], 2)
-                s.update(batcher.latency_quantiles())
-                if scene_gate is not None:
-                    s.update(scene_gate.stats)
-                    s.update(scene_gate.latency_quantiles())
-                self._json(200, s)
+                self._json(200, self._collect_stats())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the same counters: scrape
+                # the daemon like any other production service.  Monotonic
+                # totals are counters; latency quantiles / mean batch size
+                # are gauges (quantile keys end in _s, seconds).
+                lines = []
+                for k, v in sorted(self._collect_stats().items()):
+                    if not isinstance(v, (int, float)):
+                        continue
+                    typ = ("gauge" if k.endswith("_s") or k == "mean_batch"
+                           else "counter")
+                    name = f"srcgan_{k}"
+                    lines += [f"# TYPE {name} {typ}", f"{name} {v}"]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "unknown path"})
 

@@ -113,6 +113,28 @@ def test_stats_counters(server):
     assert "p50_s" in s
 
 
+def test_metrics_prometheus_exposition(server):
+    """GET /metrics mirrors /stats as Prometheus text: every numeric
+    counter appears as a typed srcgan_* sample a scraper can ingest."""
+    port = server.server_address[1]
+    for _ in range(4):  # own traffic: order-independent of sibling tests
+        status, _, _ = _post_png(port, np.zeros((8, 8), np.uint8))
+        assert status == 200
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/metrics")
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type").startswith("text/plain")
+    text = r.read().decode()
+    conn.close()
+    assert "# TYPE srcgan_requests counter" in text
+    assert "# TYPE srcgan_p50_s gauge" in text
+    samples = {ln.split()[0]: float(ln.split()[1])
+               for ln in text.splitlines() if not ln.startswith("#")}
+    assert samples["srcgan_requests"] >= 4
+    assert samples["srcgan_batched_samples"] >= samples["srcgan_batches"]
+
+
 def test_bad_body_is_a_400_not_a_crash(server):
     port = server.server_address[1]
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
