@@ -61,6 +61,12 @@ def build_parser():
                         "(lax.scan inside one jit program; requires "
                         "--pool-size 0, where the fused iteration is exact) "
                         "— one dispatch + one host sync per K iterations")
+    p.add_argument("--zero-opt", action="store_true",
+                   help="with --mesh-size: ZeRO-1 sharded Adam moments for "
+                        "G AND D (8/D bytes/param of optimizer state at "
+                        "rest); requires --pool-size 0 (the fused G+D "
+                        "program), composes without --ema-decay/"
+                        "--device-pool/--steps-per-dispatch")
     p.add_argument("--resume", action="store_true",
                    help="resume from <checkpoints>/cyclestate_latest.npz "
                         "(full G+D state: params + Adam moments + epoch; the "
@@ -132,10 +138,28 @@ def _run(args, preempted):
                               perceptual_weight=args.perceptual_weight)
     state = trainer.init(jax.random.PRNGKey(args.seed))
     ema = trainer.ema_init(state) if args.ema_decay > 0 else None
+    zero_mesh = None
+    if args.zero_opt:
+        # ZeRO-1 for the GAN: G and D Adam moments row-sharded at rest.
+        # The state template changes shape, so convert BEFORE the resume
+        # load (load_train_state matches against the template).
+        if args.mesh_size <= 1:
+            raise SystemExit("--zero-opt requires --mesh-size > 1")
+        if (args.pool_size != 0 or args.device_pool or args.ema_decay > 0
+                or args.steps_per_dispatch > 1):
+            raise SystemExit("--zero-opt requires --pool-size 0 (the fused "
+                             "G+D program) and composes without --ema-decay/"
+                             "--device-pool/--steps-per-dispatch")
+        from srcgan_tpu import parallel
+        zero_mesh = parallel.make_mesh((args.mesh_size,), ("data",))
+        state = parallel.zero1_gd_from_state(state, zero_mesh)
     start_epoch = 1
     state_path = os.path.join(args.checkpoints, "cyclestate_latest.npz")
     if args.resume and os.path.exists(state_path):
         state, extra = load_train_state(state_path, state)
+        if zero_mesh is not None:
+            from srcgan_tpu import parallel
+            state = parallel.zero1_gd_put(state, zero_mesh)
         start_epoch = int(extra.get("epoch", 0)) + 1
         print(f"resumed from {state_path} at epoch {start_epoch}")
         if ema is not None:
@@ -197,6 +221,7 @@ def _run(args, preempted):
 
     mesh = None
     b_shard = blk_shard = None
+    zero_step = None
     if args.mesh_size > 1:
         # GSPMD data parallelism: batch-sharded inputs + replicated state;
         # XLA inserts the gradient psums AND the cross-shard reductions that
@@ -211,10 +236,13 @@ def _run(args, preempted):
         from jax.sharding import NamedSharding, PartitionSpec
 
         from srcgan_tpu import parallel
-        mesh = parallel.make_mesh((args.mesh_size,), ("data",))
+        mesh = zero_mesh or parallel.make_mesh((args.mesh_size,), ("data",))
         b_shard = parallel.batch_sharding(mesh)
         blk_shard = NamedSharding(mesh, PartitionSpec(None, "data"))
-        state = parallel.put_replicated(state, mesh)
+        if args.zero_opt:
+            zero_step = parallel.make_gd_zero1_step(trainer, mesh)
+        else:
+            state = parallel.put_replicated(state, mesh)
 
     trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)
     print(f"Starting Training Loop... ({len(trainset)} samples, net={args.net})")
@@ -315,6 +343,8 @@ def _run(args, preempted):
                 state, ema, aux = trainer.optimize_parameters(
                     state, realA, realB, g_lr, d_lr, ema=ema,
                     ema_decay=args.ema_decay)
+            elif zero_step is not None:
+                state, aux = zero_step(state, realA, realB, g_lr, d_lr)
             else:
                 state, aux = trainer.optimize_parameters(state, realA, realB,
                                                          g_lr, d_lr)

@@ -18,6 +18,9 @@ from srcgan_tpu.parallel.dp import (
 from srcgan_tpu.parallel.zero import (
     make_cas_zero1_step,
     make_cas_zero1_steps_u8,
+    make_gd_zero1_step,
+    zero1_gd_from_state,
+    zero1_gd_put,
     zero1_from_state,
     zero1_init,
     zero1_opt_bytes_per_device,
@@ -52,6 +55,7 @@ __all__ = [
     "make_cas_dp_steps_u8", "make_cas_2d_step",
     "make_cyclegan_dp_steps", "make_spatial_infer",
     "make_cas_zero1_step", "make_cas_zero1_steps_u8",
+    "make_gd_zero1_step", "zero1_gd_from_state", "zero1_gd_put",
     "zero1_from_state", "zero1_init",
     "zero1_opt_bytes_per_device", "zero1_put",
     "fsdp_from_state", "fsdp_full_params", "fsdp_init", "fsdp_put",

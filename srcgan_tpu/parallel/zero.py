@@ -211,6 +211,120 @@ def make_cas_zero1_step(trainer, mesh: Mesh, axis: str = "data",
     return jax.jit(sharded, donate_argnums=0)
 
 
+def zero1_gd_from_state(state, mesh: Mesh, axis: str = "data"):
+    """Convert an initialized CycleState to the ZeRO-1 layout: G and D
+    params replicated, each opt_state slot replaced by the row-sharded
+    (mu, nu) pair (fresh zeros) — the GAN analog of ``zero1_from_state``."""
+    from srcgan_tpu.train.cyclegan import CycleState
+
+    state = mesh_lib.put_replicated(state, mesh)
+
+    def reopt(ts: TrainState) -> TrainState:
+        return TrainState(ts.params, zero1_opt_init(ts.params, mesh, axis),
+                          ts.step)
+
+    return CycleState(reopt(state.g), reopt(state.d), state.d_model_state)
+
+
+def zero1_gd_put(state, mesh: Mesh, axis: str = "data"):
+    """Place a host-side ZeRO CycleState (e.g. a restored checkpoint) on
+    the mesh: params replicated, (mu, nu) rows sharded — the GAN analog of
+    ``zero1_put``."""
+    from srcgan_tpu.train.cyclegan import CycleState
+
+    sh = NamedSharding(mesh, P(axis))
+
+    def place(ts: TrainState) -> TrainState:
+        put = lambda t: jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), t)
+        return TrainState(mesh_lib.put_replicated(ts.params, mesh),
+                          (put(ts.opt_state[0]), put(ts.opt_state[1])),
+                          mesh_lib.put_replicated(ts.step, mesh))
+
+    return CycleState(place(state.g), place(state.d),
+                      mesh_lib.put_replicated(state.d_model_state, mesh))
+
+
+def make_gd_zero1_step(trainer, mesh: Mesh, axis: str = "data",
+                       b1: float | None = None, b2: float | None = None,
+                       eps: float | None = None):
+    """ZeRO-1 fused G+D iteration for a CycleGANTrainer (pool-pass-through
+    protocol, mirroring ``CycleGANTrainer.gd_step``).
+
+    Unlike the CasTrainer ZeRO step this runs under GSPMD, not shard_map:
+    the discriminators carry BatchNorm whose batch statistics must span the
+    GLOBAL batch (the property the DP equivalence test pins,
+    tests/test_parallel.py::TestCycleGANDP) — inside shard_map each shard
+    would normalize with its own sub-batch stats and mean-of-shard
+    variances is not the global variance.  Under GSPMD the moment arrays
+    keep their (D, chunk) row sharding via with_sharding_constraint, grads
+    arrive replicated (XLA's all-reduce), the Adam arithmetic runs on the
+    local rows, and the param delta's unflatten is the all-gather.  Memory
+    is the point: 8/D bytes/param of Adam state at rest for BOTH networks
+    (``zero1_opt_bytes_per_device``), same as ``--zero-opt`` on the
+    cascade trainer.
+
+    step(state, realA, realB, g_lr, d_lr) -> (state, aux): state from
+    ``zero1_gd_from_state``, batches device_put sharded over ``axis``
+    internally.
+    """
+    import jax.numpy as _jnp
+
+    from srcgan_tpu.train.cyclegan import CycleState
+
+    b1, b2, eps = _adam_hparams(trainer, b1, b2, eps)
+    d = mesh.shape[axis]
+    sh = NamedSharding(mesh, P(axis))
+    b_shard = mesh_lib.batch_sharding(mesh, axis)
+    con = lambda t: jax.lax.with_sharding_constraint(t, sh)
+
+    def update_ts(ts: TrainState, grads, lr) -> TrainState:
+        count = ts.step + 1
+        cf = count.astype(_jnp.float32)
+        c1 = 1.0 - _jnp.float32(b1) ** cf
+        c2 = 1.0 - _jnp.float32(b2) ** cf
+        mu, nu = ts.opt_state
+
+        def leaf(p, g, m, v):
+            g2 = _to_2d(g, d)
+            m2 = con(b1 * m + (1.0 - b1) * g2)
+            v2 = con(b2 * v + (1.0 - b2) * _jnp.square(g2))
+            upd = (m2 / c1) / (_jnp.sqrt(v2 / c2) + eps)
+            return p - lr * _from_2d(upd, p.shape, p.size), m2, v2
+
+        flat_p, treedef = jax.tree_util.tree_flatten(ts.params)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_m = treedef.flatten_up_to(mu)
+        flat_v = treedef.flatten_up_to(nu)
+        res = [leaf(p, g, m, v)
+               for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+        return TrainState(treedef.unflatten([r[0] for r in res]),
+                          (treedef.unflatten([r[1] for r in res]),
+                           treedef.unflatten([r[2] for r in res])),
+                          count)
+
+    def step_fn(state, realA, realB, g_lr, d_lr):
+        grads_g, aux = trainer.g_grads(state, realA, realB)
+        new_g = update_ts(state.g, grads_g, g_lr)
+        # D grads at the pre-G-update D params on THIS step's fakes — the
+        # same schedule as CycleGANTrainer.gd_step (pool_size=0 protocol)
+        grads_d, (l_da, l_db, d_mstate) = trainer.d_grads(
+            state, realA, realB,
+            jax.lax.stop_gradient(aux["fake_A"]),
+            jax.lax.stop_gradient(aux["fake_B"]))
+        new_d = update_ts(state.d, grads_d, d_lr)
+        aux.update({"loss_D_A": l_da, "loss_D_B": l_db})
+        return CycleState(new_g, new_d, d_mstate), aux
+
+    jitted = jax.jit(step_fn, donate_argnums=0)
+
+    def step(state, realA, realB, g_lr, d_lr):
+        return jitted(state, jax.device_put(realA, b_shard),
+                      jax.device_put(realB, b_shard), g_lr, d_lr)
+
+    return step
+
+
 def make_cas_zero1_steps_u8(trainer, mesh: Mesh, axis: str = "data",
                             b1: float | None = None, b2: float | None = None,
                             eps: float | None = None):

@@ -145,6 +145,10 @@ class CycleGANTrainer:
         self.fake_B_pool = ImagePool(pool_size)
         self.opt_g = optim.adam(lr, b1=beta1)
         self.opt_d = optim.adam(d_lr, b1=beta1)
+        # (b1, b2, eps) both optimizers run with — sharded-optimizer wrappers
+        # (parallel.zero) read this to stay "same math as optax"
+        self.adam_hparams = (beta1, optim.ADAM_HPARAMS[1],
+                             optim.ADAM_HPARAMS[2])
 
     def init(self, key) -> CycleState:
         kga, kgb, kda, kdb = jax.random.split(key, 4)
@@ -186,7 +190,10 @@ class CycleGANTrainer:
         images for the host-side pools."""
         return self._g_update(state, realA, realB, lr)
 
-    def _g_update(self, state: CycleState, realA, realB, lr):
+    def g_grads(self, state: CycleState, realA, realB):
+        """(grads w.r.t. state.g.params, aux) — the G loss/backward half of
+        the update, exposed so sharded-optimizer wrappers (parallel.zero's
+        GAN step) can swap the optax apply for their own."""
         if self.act_dtype is not None:
             realA = realA.astype(self.act_dtype)
             realB = realB.astype(self.act_dtype)
@@ -276,6 +283,10 @@ class CycleGANTrainer:
             return loss_g, aux
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.g.params)
+        return grads, aux
+
+    def _g_update(self, state: CycleState, realA, realB, lr):
+        grads, aux = self.g_grads(state, realA, realB)
         opt_state = optim.set_lr(state.g.opt_state, lr)
         updates, opt_state = self.opt_g.update(grads, opt_state, state.g.params)
         new_g = TrainState(optax.apply_updates(state.g.params, updates),
@@ -291,8 +302,10 @@ class CycleGANTrainer:
         return self._d_update(state, realA, realB, fake_A_pooled,
                               fake_B_pooled, lr)
 
-    def _d_update(self, state: CycleState, realA, realB, fake_A_pooled,
-                  fake_B_pooled, lr):
+    def d_grads(self, state: CycleState, realA, realB, fake_A_pooled,
+                fake_B_pooled):
+        """(grads w.r.t. state.d.params, (loss_D_A, loss_D_B, new BN state))
+        — the D loss/backward half, exposed like ``g_grads``."""
 
         def loss_fn(dp, dstate):
             new_state = {}
@@ -314,6 +327,12 @@ class CycleGANTrainer:
 
         (_, (l_da, l_db, d_mstate)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.d.params, state.d_model_state)
+        return grads, (l_da, l_db, d_mstate)
+
+    def _d_update(self, state: CycleState, realA, realB, fake_A_pooled,
+                  fake_B_pooled, lr):
+        grads, (l_da, l_db, d_mstate) = self.d_grads(
+            state, realA, realB, fake_A_pooled, fake_B_pooled)
         opt_state = optim.set_lr(state.d.opt_state, lr)
         updates, opt_state = self.opt_d.update(grads, opt_state, state.d.params)
         new_d = TrainState(optax.apply_updates(state.d.params, updates),

@@ -272,6 +272,36 @@ class TestCycleGANDriver:
                 synth, "--batch-size", "3", "--mesh-size", "2",
                 "--checkpoints", str(tmp_path / "ckpt_cyc_dp_bad")])
 
+    def test_zero_opt_workflow_and_resume(self, synth, tmp_path, monkeypatch):
+        """--zero-opt on the GAN driver: ZeRO-1 moments for G AND D, epoch
+        checkpoints in ordinary shapes, --resume round-trips the sharded
+        layout (zero1_gd_put)."""
+        monkeypatch.chdir(tmp_path)
+        from srcgan_tpu.cli import train_cyclegan
+
+        common = [
+            "--net", "SRdens", "--mode", "x2", "--root", "Sat2Aerx1",
+            "--data-dir", synth, "--save-every", "1", "--log-every", "2",
+            "--batch-size", "2", "--mesh-size", "2", "--pool-size", "0",
+            "--zero-opt", "--checkpoints", str(tmp_path / "ckpt_cyc_zero"),
+        ]
+        train_cyclegan.main(common + ["--num-epochs", "1"])
+        assert os.path.exists(tmp_path / "ckpt_cyc_zero" /
+                              "netG_A2B_SRtask_x2_0001.npz")
+        train_cyclegan.main(common + ["--num-epochs", "2", "--resume"])
+        assert os.path.exists(tmp_path / "ckpt_cyc_zero" /
+                              "netG_A2B_SRtask_x2_0002.npz")
+        with pytest.raises(SystemExit, match="pool-size 0"):
+            train_cyclegan.main([
+                "--net", "SRdens", "--root", "Sat2Aerx1", "--data-dir",
+                synth, "--batch-size", "2", "--mesh-size", "2", "--zero-opt",
+                "--checkpoints", str(tmp_path / "ckpt_cyc_zero_bad")])
+        with pytest.raises(SystemExit, match="mesh-size"):
+            train_cyclegan.main([
+                "--net", "SRdens", "--root", "Sat2Aerx1", "--data-dir",
+                synth, "--pool-size", "0", "--zero-opt",
+                "--checkpoints", str(tmp_path / "ckpt_cyc_zero_bad2")])
+
 
 class TestMultiTaskDriver:
     def test_short_training(self, synth, tmp_path, monkeypatch):
