@@ -127,6 +127,10 @@ class SceneGate:
         self._stop = False
         self.stats = {"scene_requests": 0, "scene_errors": 0}
         self._lat = deque(maxlen=512)
+        # per-thread start time: the gate is entered by concurrent HTTP
+        # handler threads (entry precedes the tiled_lock), so a shared
+        # attribute would let thread B's entry clobber thread A's t0
+        self._local = threading.local()
 
     def __enter__(self):
         with self._lock:
@@ -134,14 +138,14 @@ class SceneGate:
                 raise ShuttingDown("server is shutting down")
             self._inflight += 1
             self.stats["scene_requests"] += 1
-        self._t0 = time.perf_counter()
+        self._local.t0 = time.perf_counter()
         return self
 
     def __exit__(self, et, ev, tb):
         with self._lock:
             self._inflight -= 1
             if et is None:
-                self._lat.append(time.perf_counter() - self._t0)
+                self._lat.append(time.perf_counter() - self._local.t0)
             else:
                 self.stats["scene_errors"] += 1
             self._lock.notify_all()

@@ -56,7 +56,7 @@ def export_cascade(pred, h: int, w: int, c: int = 1, batch: int | None = None,
 
     def f(gray_u8):
         return pred._run.__wrapped__(pred, pred.sr_params, pred.c_params,
-                                     gray_u8)
+                                     pred.sr_state, pred.c_state, gray_u8)
 
     if batch is None:
         (b,) = jx.symbolic_shape("b")

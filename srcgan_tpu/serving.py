@@ -131,7 +131,11 @@ class CascadePredictor:
     # -- the fused program ---------------------------------------------------
 
     @partial(jax.jit, static_argnums=0)
-    def _run(self, sr_params, c_params, gray_u8):
+    def _run(self, sr_params, c_params, sr_state, c_state, gray_u8):
+        # the model states ride as jit ARGUMENTS like the params: with self
+        # static, anything read off it here is a trace-time constant, and a
+        # checkpoint hot-reload that rebinds self.sr_state/c_state (BatchNorm
+        # running stats) would be silently ignored by the cached executable
         with config.matmul_precision("default" if self.bf16 else "highest"):
             x = gray_u8.astype(jnp.float32) / 255.0
             if x.shape[-1] == 3:
@@ -140,9 +144,9 @@ class CascadePredictor:
             def rgb_of(x32):
                 xin = x32.astype(jnp.bfloat16) if self.bf16 else x32
                 fake_c, _ = self.sr_model.apply(
-                    sr_params, xin, state=self.sr_state, train=False)
+                    sr_params, xin, state=sr_state, train=False)
                 out, _ = self.c_model.apply(
-                    c_params, fake_c, state=self.c_state, train=False)
+                    c_params, fake_c, state=c_state, train=False)
                 out = out.astype(jnp.float32)
                 if self.lab:
                     lab_img = jnp.concatenate(
@@ -167,7 +171,8 @@ class CascadePredictor:
         from srcgan_tpu import quant
 
         self.int8_scales = quant.calibrate_fn(
-            lambda b: self._run(self.sr_params, self.c_params, jnp.asarray(b)),
+            lambda b: self._run(self.sr_params, self.c_params, self.sr_state,
+                                self.c_state, jnp.asarray(b)),
             gray_u8_batches)
 
     def _predict_async(self, gray_u8: np.ndarray, pad: int | None = None):
@@ -187,10 +192,11 @@ class CascadePredictor:
             from srcgan_tpu import quant
 
             with quant.quant_mode("int8", self.int8_scales):
-                out = self._run(self.sr_params, self.c_params,
-                                jnp.asarray(gray_u8))
+                out = self._run(self.sr_params, self.c_params, self.sr_state,
+                                self.c_state, jnp.asarray(gray_u8))
         else:
-            out = self._run(self.sr_params, self.c_params, jnp.asarray(gray_u8))
+            out = self._run(self.sr_params, self.c_params, self.sr_state,
+                            self.c_state, jnp.asarray(gray_u8))
         return out, n
 
     def predict(self, gray_u8: np.ndarray) -> np.ndarray:
@@ -327,7 +333,7 @@ class SpatialShardedPredictor(CascadePredictor):
         self._sharding = parallel.spatial_sharding(self.mesh)
 
     @partial(jax.jit, static_argnums=0)
-    def _run(self, sr_params, c_params, gray_u8):
+    def _run(self, sr_params, c_params, sr_state, c_state, gray_u8):
         from srcgan_tpu.models import rddb
 
         # XLA cannot spatially partition the eval-tail custom call — trace
@@ -335,4 +341,4 @@ class SpatialShardedPredictor(CascadePredictor):
         with rddb.no_pallas_tail():
             gray_u8 = jax.lax.with_sharding_constraint(gray_u8, self._sharding)
             return CascadePredictor._run.__wrapped__(
-                self, sr_params, c_params, gray_u8)
+                self, sr_params, c_params, sr_state, c_state, gray_u8)

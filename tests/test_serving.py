@@ -185,6 +185,32 @@ class TestPredictStream:
             np.testing.assert_array_equal(s, d)
 
 
+class TestModelStateRebind:
+    def test_run_sees_rebound_model_state(self):
+        """A checkpoint hot-reload installs by rebinding sr_state/c_state
+        (serving.reload_checkpoints install()); with ``self`` a static jit
+        argument, anything read off it inside _run is a trace-time constant
+        — so the BatchNorm running stats must ride as jit ARGUMENTS or the
+        cached executable silently keeps serving the OLD stats for every
+        already-compiled shape (regression)."""
+        sr = models.create("ESPCN", 1, 1, 2)
+        c = models.ResDeconv(1, 3, layers=(1, 1, 1, 1), BN="BN")
+        pred = serving.CascadePredictor(
+            sr, sr.init(jax.random.PRNGKey(0)),
+            c, c.init(jax.random.PRNGKey(1)), up=2,
+            c_state=c.init_state())
+        x = np.random.default_rng(0).integers(
+            0, 256, (1, 16, 16, 1), dtype=np.uint8)
+        before = pred.predict(x)
+        # what installing a trained-BN checkpoint does: same arch, same
+        # compiled shape, different running stats
+        pred.c_state = jax.tree_util.tree_map_with_path(
+            lambda p, a: a + 0.5 if p[-1].key == "mean" else a, pred.c_state)
+        after = pred.predict(x)
+        assert not np.array_equal(before, after), (
+            "rebound model state was ignored by the cached executable")
+
+
 class TestTiledPredictor:
     """Whole-scene tiled inference (serving.TiledPredictor)."""
 
@@ -261,9 +287,9 @@ class TestTiledPredictor:
         seen = []
         orig = tiled._run
 
-        def spy(sp, cp, g):
+        def spy(sp, cp, ss, cs, g):
             seen.append(g.shape[0])
-            return orig(sp, cp, g)
+            return orig(sp, cp, ss, cs, g)
 
         tiled._run = spy
         out = tiled.predict_scene(np.zeros((20, 24), np.uint8))
