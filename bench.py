@@ -627,6 +627,32 @@ _OPT_IN_ONLY = {"_sleep"}
 # the round-2 driver-captured measurement on this host (BENCH_r02.json).
 TORCH_CPU_MPS_RECORDED = 0.271
 
+# Measured section durations persist ACROSS runs (the compilation cache
+# makes repeats much cheaper than the cold-compile estimates in SECTIONS);
+# the skip gate uses the last observed duration when one exists, so a
+# warm-cache run doesn't skip sections the static worst case would.
+DURATIONS_CACHE = os.path.join(_HERE, ".bench_durations.json")
+
+
+def _known_durations() -> dict:
+    try:
+        with open(DURATIONS_CACHE) as f:
+            return {k: float(v) for k, v in json.load(f).items()}
+    except Exception:
+        return {}
+
+
+def _record_duration(name: str, seconds: float) -> None:
+    d = _known_durations()
+    d[name] = round(seconds, 1)
+    try:
+        tmp = DURATIONS_CACHE + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, DURATIONS_CACHE)
+    except OSError:
+        pass
+
 
 # ---------------------------------------------------------------------------
 # State, assembly, emission
@@ -799,6 +825,7 @@ def main() -> None:
     from srcgan_tpu.config import enable_compilation_cache
     enable_compilation_cache()
 
+    known = _known_durations()
     for name, fn, est, required in SECTIONS:
         if only_set is not None and name not in only_set:
             continue
@@ -806,8 +833,11 @@ def main() -> None:
             continue
         if name in state["sections"]:
             continue
+        # expected cost: last observed duration (warm compile cache) with
+        # 1.5x headroom, else the cold-compile estimate
+        cost = min(1.5 * known[name], est) if name in known else est
         remaining = deadline - time.monotonic()
-        if remaining < (15.0 if required else max(30.0, 1.2 * est)):
+        if remaining < (15.0 if required else max(30.0, 1.2 * cost)):
             if name not in state["skipped"]:
                 state["skipped"].append(name)
             _save_scratch(state)
@@ -827,6 +857,7 @@ def main() -> None:
             continue
         state["sections"][name] = res
         state["durations"][name] = round(time.monotonic() - t0, 1)
+        _record_duration(name, state["durations"][name])
         _save_scratch(state)
         print(f"bench: {name} done in {state['durations'][name]}s: {res}",
               file=sys.stderr, flush=True)

@@ -51,9 +51,10 @@ Oversized bodies are rejected with 413 before the body is read
 int8 concurrency: ``quant.quant_mode`` patches the conv dispatch
 process-globally, but every device call goes through the Batcher's single
 worker thread, so an int8 predictor is safe under concurrent HTTP clients.
-The unsafe pattern is two predictors (or a predictor plus any other tracing
-code) in one process with different quant modes — run one predictor per
-process.
+The unsafe pattern — two predictors (or a predictor plus any other tracing
+code) entering quant blocks concurrently in one process — now RAISES
+RuntimeError at entry (quant_mode holds a process-exclusive lock) instead
+of silently desyncing callsite indices; run one predictor per process.
 """
 from __future__ import annotations
 
@@ -103,6 +104,11 @@ def build_parser():
                    help="enable POST /predict_scene: arbitrary-size scenes "
                         "served through one compiled NxN tile shape "
                         "(serving.TiledPredictor); 0 disables")
+    p.add_argument("--mesh-size", type=int, default=0,
+                   help="shard the cascade over an N-device 'space' mesh "
+                        "(image-height sharding, GSPMD halo exchange — "
+                        "serving.SpatialShardedPredictor); composes with "
+                        "--tile for any-size scenes.  0 = single device")
     p.add_argument("--tile-overlap", type=int, default=32,
                    help="tile halo cropped from each output tile; >= the "
                         "cascade receptive-field radius makes stitching "
@@ -538,11 +544,25 @@ def make_handler(batcher, config, tiled=None, scene_gate=None,
 def make_server(args) -> ThreadingHTTPServer:
     from srcgan_tpu.config import enable_compilation_cache
     enable_compilation_cache()
-    from srcgan_tpu.serving import CascadePredictor
+    from srcgan_tpu.serving import CascadePredictor, SpatialShardedPredictor
 
-    pred = CascadePredictor.from_checkpoints(
+    mesh = None
+    mesh_size = getattr(args, "mesh_size", 0)
+    if mesh_size:
+        import jax
+
+        from srcgan_tpu import parallel
+
+        if mesh_size > jax.device_count():
+            raise SystemExit(
+                f"--mesh-size {mesh_size} exceeds the {jax.device_count()} "
+                f"visible devices")
+        mesh = parallel.make_mesh((mesh_size,), ("space",))
+    pred_cls = SpatialShardedPredictor if mesh is not None else CascadePredictor
+    pred = pred_cls.from_checkpoints(
         args.netGA, args.netGB, bf16=args.bf16, pad_batch_to=args.pad_batch,
-        self_ensemble=args.self_ensemble)
+        self_ensemble=args.self_ensemble,
+        **({"mesh": mesh} if mesh is not None else {}))
     if args.warmup:
         for spec in args.warmup.split(","):
             h, w = (int(v) for v in spec.lower().split("x"))
@@ -565,16 +585,22 @@ def make_server(args) -> ThreadingHTTPServer:
                 print(f"warmed {n}x{h}x{w} in {time.perf_counter()-t0:.1f}s")
     tiled = None
     if args.tile:
-        from srcgan_tpu.serving import TiledPredictor
+        from srcgan_tpu.serving import (SpatialShardedTiledPredictor,
+                                        TiledPredictor)
 
-        # share the loaded weights; TiledPredictor owns its batch padding
-        tiled = TiledPredictor(
+        # share the loaded weights; TiledPredictor owns its batch padding.
+        # Under --mesh-size the scene tiles cross the height-sharded
+        # program too (SpatialShardedTiledPredictor).
+        tiled_cls = (SpatialShardedTiledPredictor if mesh is not None
+                     else TiledPredictor)
+        tiled = tiled_cls(
             pred.sr_model, pred.sr_params, pred.c_model, pred.c_params,
             up=pred.up, lab=pred.lab, bf16=pred.bf16,
             sr_state=pred.sr_state, c_state=pred.c_state,
             self_ensemble=args.self_ensemble,
             tile=args.tile, overlap=args.tile_overlap,
-            max_batch=args.max_batch)
+            max_batch=args.max_batch,
+            **({"mesh": mesh} if mesh is not None else {}))
         if args.warmup:
             # both channel counts: an RGB scene compiles a separate program
             for ch in (1, 3):
@@ -590,7 +616,8 @@ def make_server(args) -> ThreadingHTTPServer:
               "max_batch": args.max_batch,
               "max_request_bytes": int(args.max_request_mb * 1024 * 1024),
               **({"tile": args.tile, "tile_overlap": args.tile_overlap}
-                 if args.tile else {})}
+                 if args.tile else {}),
+              **({"mesh_size": mesh_size} if mesh_size else {})}
     scene_gate = SceneGate() if tiled is not None else None
     tiled_lock = threading.Lock()
     do_reload = make_reloader(batcher, config, tiled, tiled_lock)

@@ -271,8 +271,9 @@ def _run(args, preempted):
                         # body produces)
                         srcA0, realB0 = preprocess.convert_pair(
                             src_blk[0], tar_blk[0], "G2RGB")
-                        realA0 = (ops.interpolate(realB0, scale_factor=0.5,
-                                                  mode="nearest")
+                        realA0 = (ops.interpolate(
+                            realB0, scale_factor=1.0 / trainer.scale,
+                            mode="nearest")
                                   if args.net == "1" else srcA0)
                         pool_state = trainer.device_pool_init(
                             state, realA0, realB0, seed=args.seed)
@@ -324,8 +325,12 @@ def _run(args, preempted):
             srcA, realB = preprocess.convert_pair(
                 jnp.asarray(src_u8), jnp.asarray(tar_u8), "G2RGB")
             if args.net == "1":
-                # realA = 0.5x nearest downsample of the RGB target
-                realA = ops.interpolate(realB, scale_factor=0.5, mode="nearest")
+                # realA = nearest downsample of the RGB target by the
+                # generator scale (reference train.py:380-382 hardcodes
+                # 0.5x — its net='1' protocol is x2-only)
+                realA = ops.interpolate(realB,
+                                        scale_factor=1.0 / trainer.scale,
+                                        mode="nearest")
             else:
                 realA = srcA
             if args.device_pool:

@@ -264,12 +264,21 @@ def batches(dataset, batch_size: int, *, shuffle: bool = False,
 
 def make_synthetic_dataset(path: str, n_train: int = 8, n_val: int = 2,
                            n_test: int = 2, size: int = 64, seed: int = 0,
-                           scale: int = 1) -> str:
+                           scale: int = 1, colorizable: bool = False) -> str:
     """Create an on-disk Sat2Aer-layout dataset with procedural imagery.
 
     tar: smooth random RGB fields (sum of low-frequency cosines + noise);
     src: grayscale rendering of tar, optionally downscaled by ``scale`` —
     mirroring the Sat2Aerx1/x2/x4 variants.  Returns the dataset root name.
+
+    ``colorizable=True`` draws each channel from a SHARED smooth field
+    through a dataset-wide random tone curve (plus a small independent
+    chroma field), so luma nearly determines color — the regime real
+    aerial RGB lives in, and the one where the reference's cascade
+    protocol (gray -> SR -> colorize, scored as colorization PSNR,
+    visCas.py:131-141) is actually attainable.  The default (independent
+    per-channel phases) keeps color nearly ill-posed from luma, which
+    caps cascade PSNR regardless of model quality.
     """
     rng = np.random.default_rng(seed)
     root = os.path.basename(path)
@@ -280,15 +289,43 @@ def make_synthetic_dataset(path: str, n_train: int = 8, n_val: int = 2,
 
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     total = {"train": n_train, "val": n_val, "test": n_test}
+    # dataset-wide tone curve for the colorizable variant: per-channel
+    # gamma + affine of the shared field (monotone, so luma -> RGB is
+    # invertible and learnable by the colorizer)
+    tone_gamma = rng.uniform(0.6, 1.6, 3)
+    tone_lo = rng.uniform(0.0, 0.25, 3)
+    tone_hi = rng.uniform(0.75, 1.0, 3)
     for split, count in total.items():
         for i in range(count):
-            img = np.zeros((size, size, 3), np.float32)
-            for _ in range(4):
-                fx, fy = rng.uniform(0.5, 4, 2)
-                ph = rng.uniform(0, 6.28, 3)
-                for c in range(3):
-                    img[..., c] += np.cos(2 * np.pi * (fx * xx + fy * yy) + ph[c])
-            img = (img - img.min()) / (np.ptp(img) + 1e-9)
+            if colorizable:
+                g = np.zeros((size, size), np.float32)
+                chroma = np.zeros((size, size), np.float32)
+                for _ in range(4):
+                    fx, fy = rng.uniform(0.5, 4, 2)
+                    g += np.cos(2 * np.pi * (fx * rng.uniform(0.8, 1.2) * xx
+                                             + fy * yy) + rng.uniform(0, 6.28))
+                    cfx, cfy = rng.uniform(0.5, 2, 2)
+                    chroma += np.cos(2 * np.pi * (cfx * xx + cfy * yy)
+                                     + rng.uniform(0, 6.28))
+                g = (g - g.min()) / (np.ptp(g) + 1e-9)
+                chroma = (chroma - chroma.min()) / (np.ptp(chroma) + 1e-9)
+                img = np.stack(
+                    [tone_lo[c] + (tone_hi[c] - tone_lo[c])
+                     * g ** tone_gamma[c] for c in range(3)], -1)
+                # small independent chroma so color isn't a pure function
+                # of luma (keeps the task non-trivial)
+                img[..., 0] += 0.06 * (chroma - 0.5)
+                img[..., 2] -= 0.06 * (chroma - 0.5)
+                img = np.clip(img, 0, 1)
+            else:
+                img = np.zeros((size, size, 3), np.float32)
+                for _ in range(4):
+                    fx, fy = rng.uniform(0.5, 4, 2)
+                    ph = rng.uniform(0, 6.28, 3)
+                    for c in range(3):
+                        img[..., c] += np.cos(
+                            2 * np.pi * (fx * xx + fy * yy) + ph[c])
+                img = (img - img.min()) / (np.ptp(img) + 1e-9)
             img = (img * 255).astype(np.uint8)
             gray = (img.astype(np.float32) @ np.array([0.2125, 0.7154, 0.0721]))
             src = np.repeat(gray[..., None], 3, -1).astype(np.uint8)

@@ -171,17 +171,41 @@ def rdb5_dispatch(block, p, x, train: bool):
                                        interpret=interp)
 
 
+# Exactly one quant_mode block may be active in the process: the conv2d
+# dispatch install/restore is a process-global patch, so a second concurrent
+# block (another serve thread calibrating, a test racing the Batcher) would
+# have whichever block exits FIRST restore the real conv2d under the other
+# one mid-trace — remaining convs silently bypass the dispatch and callsite
+# indices desync.  The failure used to be silent-wrong-numbers with the
+# guard living in a cli/serve.py comment; now concurrent entry raises.
+_ACTIVE = threading.Lock()
+_ACTIVE_OWNER: Optional[str] = None
+
+
 class quant_mode:
     """Context manager installing the conv2d dispatch in the given mode.
 
     Resets the callsite counter on entry, so one ``with`` block must cover
     exactly one forward trace (or one eager forward during calibration).
+    Process-exclusive: entering while ANY thread (including this one —
+    nesting breaks the callsite counter) holds a block raises RuntimeError.
     """
 
     def __init__(self, mode: str, scales: Dict[int, float]):
         self.mode, self.scales = mode, scales
 
     def __enter__(self):
+        global _ACTIVE_OWNER
+        if not _ACTIVE.acquire(blocking=False):
+            raise RuntimeError(
+                f"quant_mode is already active on thread "
+                f"{_ACTIVE_OWNER!r} (this thread: "
+                f"{threading.current_thread().name!r}).  The conv2d "
+                f"dispatch is a process-global patch — a concurrent "
+                f"quantized trace would desync callsite indices.  "
+                f"Serialize calibrate/int8 traces (the serve daemon runs "
+                f"them on its Batcher thread for this reason).")
+        _ACTIVE_OWNER = threading.current_thread().name
         _CTX.mode, _CTX.scales, _CTX.idx = self.mode, self.scales, 0
         _conv.conv2d = _conv2d_dispatch
         _ops.conv2d = _conv2d_dispatch
@@ -191,9 +215,12 @@ class quant_mode:
         return _CTX
 
     def __exit__(self, *exc):
+        global _ACTIVE_OWNER
         _CTX.mode = None
         _conv.conv2d = _REAL_CONV2D
         _ops.conv2d = _REAL_CONV2D
+        _ACTIVE_OWNER = None
+        _ACTIVE.release()
         return False
 
 

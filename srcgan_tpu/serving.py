@@ -56,9 +56,14 @@ class CascadePredictor:
         self.c_params = jax.tree_util.tree_map(lambda a: a.astype(dtype),
                                                c_params)
         # model state (BatchNorm running stats) from the checkpoint; empty
-        # for the GN-normed default zoo
-        self.sr_state = sr_state if sr_state is not None else sr_model.init_state()
-        self.c_state = c_state if c_state is not None else c_model.init_state()
+        # for the GN-normed default zoo.  Baked to device arrays once —
+        # host-numpy state would re-transfer H2D on every _run call
+        self.sr_state = jax.tree_util.tree_map(
+            jnp.asarray,
+            sr_state if sr_state is not None else sr_model.init_state())
+        self.c_state = jax.tree_util.tree_map(
+            jnp.asarray,
+            c_state if c_state is not None else c_model.init_state())
 
     # -- constructors --------------------------------------------------------
 
@@ -119,12 +124,16 @@ class CascadePredictor:
         sr_p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), sr_p)
         c_p = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), c_p)
 
+        sr_st = jax.tree_util.tree_map(
+            jnp.asarray,
+            sr_st if sr_st is not None else self.sr_model.init_state())
+        c_st = jax.tree_util.tree_map(
+            jnp.asarray,
+            c_st if c_st is not None else self.c_model.init_state())
+
         def install():
             self.sr_params, self.c_params = sr_p, c_p
-            self.sr_state = (sr_st if sr_st is not None
-                             else self.sr_model.init_state())
-            self.c_state = (c_st if c_st is not None
-                            else self.c_model.init_state())
+            self.sr_state, self.c_state = sr_st, c_st
 
         return install
 
@@ -342,3 +351,16 @@ class SpatialShardedPredictor(CascadePredictor):
             gray_u8 = jax.lax.with_sharding_constraint(gray_u8, self._sharding)
             return CascadePredictor._run.__wrapped__(
                 self, sr_params, c_params, sr_state, c_state, gray_u8)
+
+
+class SpatialShardedTiledPredictor(SpatialShardedPredictor, TiledPredictor):
+    """Any-size scenes over a multi-chip mesh: TiledPredictor's window
+    plan + stitching drives SpatialShardedPredictor._run, so every tile
+    batch crosses the height-sharded program while scenes keep the one
+    compiled tile shape.  This is the serve daemon's ``--mesh-size`` x
+    ``--tile`` composition (cli/serve.py) — the multi-chip replacement for
+    the reference's single-device per-sample eval loop (testCas.py:61-88).
+
+    Cooperative __init__ chain: SpatialSharded consumes ``mesh``, Tiled
+    consumes ``tile``/``overlap``/``max_batch``, CascadePredictor the rest.
+    """

@@ -473,7 +473,12 @@ class CycleGANTrainer:
         def convert(s, t):
             srcA, realB = preprocess.convert_pair(s, t, "G2RGB")
             if self.net == "1":
-                realA = ops.interpolate(realB, scale_factor=0.5,
+                # reference train.py:380-382 synthesizes realA by a 0.5x
+                # nearest downsample of the target — correct only for the
+                # x2 protocol; generalize to this trainer's scale so the
+                # x4 composition cycles with matched shapes
+                realA = ops.interpolate(realB,
+                                        scale_factor=1.0 / self.scale,
                                         mode="nearest")
             else:
                 realA = srcA
@@ -520,7 +525,12 @@ class CycleGANTrainer:
         def convert(s, t):
             srcA, realB = preprocess.convert_pair(s, t, "G2RGB")
             if self.net == "1":
-                realA = ops.interpolate(realB, scale_factor=0.5,
+                # reference train.py:380-382 synthesizes realA by a 0.5x
+                # nearest downsample of the target — correct only for the
+                # x2 protocol; generalize to this trainer's scale so the
+                # x4 composition cycles with matched shapes
+                realA = ops.interpolate(realB,
+                                        scale_factor=1.0 / self.scale,
                                         mode="nearest")
             else:
                 realA = srcA

@@ -146,6 +146,19 @@ class TestShapes:
         y, _ = m.apply(p, jnp.zeros((2, 32, 32, 3)), train=True)
         assert y.shape[0] == 2 and y.shape[-1] == 1
 
+    def test_discriminator_rejects_degenerate_input(self):
+        """Inputs too small for the k4 pyramid raise like torch does
+        (reference model.py:595-639) instead of emitting an empty
+        prediction map that silently NaNs the GAN loss (PARITY.md §2.2)."""
+        m = models.NLayerDiscriminator(3, 16, 2)
+        p = m.init(jax.random.PRNGKey(0))
+        for size in (4, 8):  # 8x8: 8->4->2, then padded 4-conv on 1x1 map
+            with pytest.raises(ValueError, match="too small"):
+                m.apply(p, jnp.zeros((1, size, size, 3)), train=True)
+        # 12x12 is the smallest even size that survives every conv
+        y, _ = m.apply(p, jnp.zeros((1, 12, 12, 3)), train=True)
+        assert y.shape == (1, 1, 1, 1)
+
     def test_jit_compiles(self):
         m = models.RDDBNet(1, 1, 2, nf=32, nb=1)
         p = m.init(jax.random.PRNGKey(0))
@@ -205,6 +218,22 @@ class TestReferenceParity:
         t = ref_legacy.NLayerDiscriminator(3, 16, 2)
         j = models.NLayerDiscriminator(3, 16, 2)
         check_parity(t, j, rand(2, 16, 16, 3), train=True)
+
+    def test_discriminator_degenerate_raise_matches_torch(self):
+        """torch raises on an 8x8 input to the k4 pyramid; so do we (shape
+        guard in NLayerDiscriminator.apply — PARITY.md §2.2)."""
+        torch.manual_seed(0)
+        t = ref_legacy.NLayerDiscriminator(3, 16, 2)
+        # batch 2 so train-mode BatchNorm survives the 1x1 map and the
+        # failure is the conv's (batch 1 dies one layer earlier with
+        # BN's ValueError — also a raise, just a different layer's)
+        with pytest.raises(RuntimeError):
+            with torch.no_grad():
+                t(torch.zeros(2, 3, 8, 8))
+        j = models.NLayerDiscriminator(3, 16, 2)
+        p = j.init(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="too small"):
+            j.apply(p, jnp.zeros((2, 8, 8, 3)), train=True)
 
     def test_rddbneta_mode_based(self):
         for mode in ["x1", "x2", "x4"]:

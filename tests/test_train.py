@@ -903,6 +903,23 @@ class TestParallelDecode:
             np.testing.assert_array_equal(s0, s1)
             np.testing.assert_array_equal(t0, t1)
 
+    def test_gd_steps_u8_x4_synthesis_shapes(self):
+        """net='1' realA synthesis inside the u8 scan follows the trainer's
+        scale (1/4x nearest at mode='x4'), not the reference's hardcoded
+        0.5x (train.py:380-382, an x2-only protocol): shapes cycle and the
+        losses are finite beyond x2."""
+        rng = np.random.default_rng(17)
+        src = rng.integers(0, 256, (1, 1, 48, 48, 3), dtype=np.uint8)
+        tar = rng.integers(0, 256, (1, 1, 48, 48, 3), dtype=np.uint8)
+        tr = CycleGANTrainer(net="1", mode="x4", pool_size=0, remat=False)
+        st = tr.init(jax.random.PRNGKey(5))
+        st, imgs, rows = tr.gd_steps_u8(st, jnp.asarray(src),
+                                        jnp.asarray(tar), tr.lr, tr.d_lr)
+        assert imgs["fake_B"].shape == (1, 48, 48, 3)
+        assert imgs["fake_A"].shape == (1, 12, 12, 3)
+        for k in ("loss_G", "loss_D_A", "loss_D_B"):
+            assert np.isfinite(float(rows[k][0])), k
+
     def test_worker_batches_with_cache(self, tmp_path):
         from srcgan_tpu import data
         root = data.make_synthetic_dataset(str(tmp_path / "WSat2"), n_train=6,
