@@ -1,0 +1,139 @@
+#!/usr/bin/env bash
+# Real-data parity reproduction (BASELINE.md bars: PSNR within 0.1 dB,
+# SSIM within 0.002 of the torch reference).
+#
+# No Sat2Aer imagery ships in this image, so this script STAGES the
+# real-data run for a machine that has it: point SAT2AER_DIR at a directory
+# containing the Sat2Aer-layout dataset root (Sat2Aerx1/{src,tar}) and it
+#
+#   1. verifies the layout and builds {train,val,test}.txt split lists via
+#      cli.prepare_data (the reference assumes the lists exist,
+#      dataset.py:40-45, and ships no tool to build them);
+#   2. trains + evals the TORCH REFERENCE exactly as committed
+#      (runpy of $REF_DIR/src/trainCas.py + testCas.py, seeded, visdom
+#      stubbed — scripts/_ref_repro.py) -> $WORK/ref/result/Performs.csv;
+#   3. trains + evals SRCGAN_TPU with the same protocol flags and pinned
+#      seed -> $WORK/ours/result/Performs.csv;
+#   4. CROSS-EVAL: scores the reference-TRAINED .pth through OUR eval stack
+#      -> $WORK/cross/result/Performs.csv (engine parity on a real trained
+#      checkpoint — the tight check);
+#   5. diffs the CSVs with scripts/diff_performs.py:
+#        cross vs ref  — same checkpoint, two eval stacks (must be within
+#                        bars; tests hold this at 0.01 dB on synthetic);
+#        ours  vs ref  — independently trained runs, same protocol
+#                        (quality parity within bars).
+#
+# Usage:
+#   SAT2AER_DIR=/data/dataset ./scripts/realdata_repro.sh [workdir]
+# Env knobs:
+#   REF_DIR     reference checkout (default /root/reference)
+#   SR_MODEL    (RDDBNet) CMODEL (ResDeconv) UP (2) EPOCHS (50) SEED (0)
+#   DRY_RUN=1   tolerate missing reference deps (exit 3 from _ref_repro
+#               skips stages 2/4/5-ref) and missing real imagery — used by
+#               tests/test_realdata_kit.py on the synthetic layout
+#   PLATFORM    force a jax platform for OUR stack (e.g. cpu for dry runs)
+set -euo pipefail
+
+HERE="$(cd "$(dirname "$0")/.." && pwd)"
+WORK="${1:-$HERE/runs/realdata_repro}"
+REF_DIR="${REF_DIR:-/root/reference}"
+SR_MODEL="${SR_MODEL:-RDDBNet}"
+CMODEL="${CMODEL:-ResDeconv}"
+UP="${UP:-2}"
+EPOCHS="${EPOCHS:-50}"
+SEED="${SEED:-0}"
+ROOT_NAME="${ROOT_NAME:-Sat2Aerx1}"
+
+if [ -z "${SAT2AER_DIR:-}" ]; then
+    echo "realdata_repro: set SAT2AER_DIR to the directory holding" \
+         "$ROOT_NAME/{src,tar}" >&2
+    exit 2
+fi
+DS="$SAT2AER_DIR/$ROOT_NAME"
+[ -d "$DS/src" ] && [ -d "$DS/tar" ] || {
+    echo "realdata_repro: $DS lacks the Sat2Aer layout (src/ + tar/)" >&2
+    exit 2
+}
+
+cd "$HERE"
+mkdir -p "$WORK"
+
+# our-stack python prelude: optional platform pin (env alone is defeated by
+# the axon site hook — CLAUDE.md)
+OURS_PRE="import sys"
+if [ -n "${PLATFORM:-}" ]; then
+    OURS_PRE="import jax; jax.config.update('jax_platforms', '${PLATFORM}')"
+fi
+
+echo "== [1/5] split lists (cli.prepare_data)"
+if [ ! -f "$DS/train.txt" ]; then
+    python -c "$OURS_PRE
+from srcgan_tpu.cli import prepare_data
+prepare_data.main(['--dir', '$DS', '--val', '0.1', '--test', '0.1',
+                   '--seed', '$SEED'])"
+else
+    echo "   lists already present, keeping them"
+fi
+
+REF_OK=1
+echo "== [2/5] torch reference: train + eval (seeded, as committed)"
+mkdir -p "$WORK/ref"
+REF_CKA="$WORK/ref/checkpoints/${SR_MODEL}_A2C_x${UP}_$(printf %04d "$EPOCHS").pth"
+REF_CKB="$WORK/ref/checkpoints/${CMODEL}_C2B_x${UP}_$(printf %04d "$EPOCHS").pth"
+run_ref() {  # run_ref <script.py> [args...] — cwd $WORK/ref, rc 3 tolerated in dry runs
+    ( cd "$WORK/ref" && mkdir -p checkpoints result && \
+      REF_DIR="$REF_DIR" REPRO_DATASET_DIR="$SAT2AER_DIR" REPRO_SEED="$SEED" \
+      python "$HERE/scripts/_ref_repro.py" "$@" )
+}
+if run_ref trainCas.py --SRModel "$SR_MODEL" --CModel "$CMODEL" --up "$UP"; then
+    run_ref testCas.py --netGA "$REF_CKA" --netGB "$REF_CKB"
+else
+    rc=$?
+    if [ "$rc" = 3 ] && [ -n "${DRY_RUN:-}" ]; then
+        echo "   reference deps missing — SKIPPED (dry run)"
+        REF_OK=0
+    else
+        exit "$rc"
+    fi
+fi
+
+echo "== [3/5] srcgan_tpu: train + eval (same protocol, seed $SEED)"
+mkdir -p "$WORK/ours"
+python -c "$OURS_PRE
+from srcgan_tpu.cli import train_cas
+train_cas.main(['--SRModel', '$SR_MODEL', '--CModel', '$CMODEL',
+                '--up', '$UP', '--num-epochs', '$EPOCHS',
+                '--save-every', '25', '--batch-size', '1', '--seed', '$SEED',
+                '--root', '$ROOT_NAME', '--data-dir', '$SAT2AER_DIR',
+                '--checkpoints', '$WORK/ours/checkpoints'])"
+OUR_CKA="$WORK/ours/checkpoints/${SR_MODEL}_A2C_x${UP}_$(printf %04d "$EPOCHS").npz"
+OUR_CKB="$WORK/ours/checkpoints/${CMODEL}_C2B_x${UP}_$(printf %04d "$EPOCHS").npz"
+python -c "$OURS_PRE
+from srcgan_tpu.cli import test_cas
+test_cas.main(['--netGA', '$OUR_CKA', '--netGB', '$OUR_CKB',
+               '--root', '$ROOT_NAME', '--data-dir', '$SAT2AER_DIR',
+               '--result-dir', '$WORK/ours/result'])"
+
+if [ "$REF_OK" = 1 ]; then
+    echo "== [4/5] cross-eval: reference-trained .pth through OUR eval stack"
+    mkdir -p "$WORK/cross"
+    python -c "$OURS_PRE
+from srcgan_tpu.cli import test_cas
+test_cas.main(['--netGA', '$REF_CKA', '--netGB', '$REF_CKB',
+               '--root', '$ROOT_NAME', '--data-dir', '$SAT2AER_DIR',
+               '--result-dir', '$WORK/cross/result'])"
+
+    echo "== [5/5] parity diffs (bars: 0.1 dB PSNR / 0.002 SSIM)"
+    echo "-- engine parity (same trained checkpoint, two eval stacks):"
+    python "$HERE/scripts/diff_performs.py" \
+        "$WORK/ref/result/Performs.csv" "$WORK/cross/result/Performs.csv"
+    echo "-- training parity (independent runs, same protocol):"
+    python "$HERE/scripts/diff_performs.py" \
+        "$WORK/ref/result/Performs.csv" "$WORK/ours/result/Performs.csv"
+else
+    echo "== [4-5/5] skipped (no reference run in this environment)"
+    [ -f "$WORK/ours/result/Performs.csv" ] || exit 1
+    echo "   our Performs.csv:"
+    cat "$WORK/ours/result/Performs.csv"
+fi
+echo "realdata_repro: done"

@@ -34,9 +34,13 @@ def main():
     data_dir = os.path.join(WORK, "dataset")
     ck = os.path.join(WORK, "checkpoints")
     res = os.path.join(WORK, "result")
+    # 256x256 tiles — the reference's actual patch size (example PNGs,
+    # SURVEY §1).  Size matters beyond fidelity: ResDeconv's stride-32
+    # encoder bottleneck is 8x8 at 256² (vs 4x4 at 128²), which is what
+    # lets the skip-less colorizer represent the field frequencies at all.
     root = data.make_synthetic_dataset(
         os.path.join(data_dir, "Sat2Aerx1"), n_train=16, n_val=4, n_test=8,
-        size=128, seed=7, colorizable=True)
+        size=256, seed=7, colorizable=True)
 
     train_cas.main([
         "--SRModel", "RDDBNet", "--CModel", "ResDeconv", "--up", "2",

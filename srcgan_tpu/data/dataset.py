@@ -301,10 +301,13 @@ def make_synthetic_dataset(path: str, n_train: int = 8, n_val: int = 2,
                 g = np.zeros((size, size), np.float32)
                 chroma = np.zeros((size, size), np.float32)
                 for _ in range(4):
-                    fx, fy = rng.uniform(0.5, 4, 2)
+                    # gentler spectrum than the default variant: SR at x2
+                    # must actually recover these frequencies for the
+                    # cascade PSNR to reflect colorization quality
+                    fx, fy = rng.uniform(0.5, 2.5, 2)
                     g += np.cos(2 * np.pi * (fx * rng.uniform(0.8, 1.2) * xx
                                              + fy * yy) + rng.uniform(0, 6.28))
-                    cfx, cfy = rng.uniform(0.5, 2, 2)
+                    cfx, cfy = rng.uniform(0.5, 1.5, 2)
                     chroma += np.cos(2 * np.pi * (cfx * xx + cfy * yy)
                                      + rng.uniform(0, 6.28))
                 g = (g - g.min()) / (np.ptp(g) + 1e-9)
