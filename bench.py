@@ -816,6 +816,9 @@ def main() -> None:
     state = _load_scratch(round(run_start_wall, 3))
     state["run_start"] = round(run_start_wall, 3)
     _install_guards(state, deadline)
+    ready = os.environ.get("SRCGAN_BENCH_READY_FILE")
+    if ready:  # test handshake: guards are live from this point on
+        open(ready, "w").close()
 
     only = os.environ.get("SRCGAN_BENCH_SECTIONS")
     only_set = ({s.strip() for s in only.split(",") if s.strip()}

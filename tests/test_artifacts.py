@@ -13,31 +13,36 @@ import numpy as np
 
 def test_bench_imports_and_declares_protocol():
     bench = importlib.import_module("bench")
-    for fn in ("bench_jax", "bench_train", "bench_gan", "bench_lab",
-               "bench_int8", "torch_rddb_mps", "main"):
+    # the sectioned runner's structural contract (round 4): every section
+    # callable, names unique, required headline sections present and
+    # ordered before the optional twins
+    for fn in ("assemble", "emit", "check_regressions", "main"):
         assert callable(getattr(bench, fn)), fn
+    names = [s[0] for s in bench.SECTIONS]
+    assert len(names) == len(set(names))
+    for name, fn, est, required in bench.SECTIONS:
+        assert callable(fn) and est > 0, name
+    required = [n for n, _, _, req in bench.SECTIONS if req]
+    assert required == ["fwd_bf16", "torch_baseline", "train_bf16", "gan"]
+    first_optional = names.index(
+        next(n for n, _, _, req in bench.SECTIONS if not req))
+    assert all(names.index(r) < first_optional for r in required), \
+        "headline sections must be scheduled before the optional twins"
+    assert bench._OPT_IN_ONLY <= set(names)
 
 
 def test_bench_transient_retry_gate():
-    """The relay-failure retry gate re-execs ONLY on transient backend
-    errors and never past MAX_ATTEMPTS (a real bug must surface, not loop)."""
-    import pytest
-
+    """The relay-failure classifier re-execs ONLY on transient backend
+    errors (a real bug must surface as a recorded section error, not
+    loop); deterministic misconfig symptoms stay non-transient."""
     bench = importlib.import_module("bench")
-    with pytest.raises(ValueError):
-        bench._retry_or_raise(ValueError("shape mismatch"))  # not transient
-    import os
-    old = os.environ.get(bench.RETRY_ENV)
-    try:
-        os.environ[bench.RETRY_ENV] = str(bench.MAX_ATTEMPTS - 1)
-        with pytest.raises(RuntimeError):
-            bench._retry_or_raise(
-                RuntimeError("TPU backend error (FailedPrecondition)"))
-    finally:
-        if old is None:
-            os.environ.pop(bench.RETRY_ENV, None)
-        else:
-            os.environ[bench.RETRY_ENV] = old
+    assert not bench._is_transient(ValueError("shape mismatch"))
+    assert not bench._is_transient(
+        RuntimeError("Unable to initialize backend 'axon'"))
+    assert bench._is_transient(
+        RuntimeError("TPU backend error (FailedPrecondition)"))
+    assert bench._is_transient(OSError("Connection reset by peer"))
+    assert bench.MAX_ATTEMPTS >= 2
 
 
 def test_graft_entry_contract():

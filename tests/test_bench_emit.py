@@ -116,16 +116,27 @@ class TestAssemble:
 # Subprocess: the bench process yields the JSON line under kill conditions
 # ---------------------------------------------------------------------------
 
-def _run_bench(env_extra, tmp_path, sig=None, sig_after=None, timeout=60):
+def _run_bench(env_extra, tmp_path, sig=None, timeout=120):
+    """Run bench.py; if sig is given, wait for the guards-installed
+    handshake file (no fixed sleep — a loaded host delays startup
+    arbitrarily) then deliver the signal."""
     env = dict(os.environ)
     env.update(env_extra)
     env["SRCGAN_BENCH_SCRATCH"] = str(tmp_path / "scratch.json")
+    ready = tmp_path / "ready"
+    env["SRCGAN_BENCH_READY_FILE"] = str(ready)
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "bench.py")],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
     if sig is not None:
-        time.sleep(sig_after)
+        deadline = time.time() + 90
+        while not ready.exists() and proc.poll() is None:
+            if time.time() > deadline:
+                proc.kill()
+                raise AssertionError("bench never signalled readiness")
+            time.sleep(0.1)
+        time.sleep(0.5)  # let it enter the section body
         proc.send_signal(sig)
     out, err = proc.communicate(timeout=timeout)
     return proc.returncode, out, err
@@ -143,7 +154,7 @@ def test_signal_mid_section_still_emits_json(tmp_path, signame):
     rc, out, err = _run_bench(
         {"SRCGAN_BENCH_SECTIONS": "_sleep", "SRCGAN_BENCH_SLEEP_S": "120",
          "SRCGAN_BENCH_BUDGET_S": "300"},
-        tmp_path, sig=getattr(signal, signame), sig_after=8.0)
+        tmp_path, sig=getattr(signal, signame))
     assert rc == 0, err
     parsed = _parse_last_json(out)
     assert parsed["detail"]["partial"] is True
