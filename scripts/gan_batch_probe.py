@@ -9,8 +9,9 @@ scales near-linearly while ms/iter grows sublinearly, the step is
 latency/occupancy-bound at bs=1 and the framework has the headroom the
 protocol chooses not to use.
 
-remat ON for bs >= 4 (the six-pass backward exceeds HBM without it —
-docs/PERF.md "CycleGAN training memory").
+remat ON for bs >= 2: measured here, the six-pass no-remat backward at
+bs=2 @256² already wants 18.9 GB of HBM temp (15.75 available) — bs=1 is
+the only no-remat point.
 
 Run on TPU from the repo root: python scripts/gan_batch_probe.py
 """
@@ -65,7 +66,7 @@ def main():
     config.set_conv_precision("default")
     print(f"{'batch':>5} {'remat':>5} {'ms/iter':>9} {'samples/s':>10}")
     base = None
-    for b, remat in ((1, False), (2, False), (4, True), (8, True)):
+    for b, remat in ((1, False), (2, True), (4, True), (8, True)):
         t = measure(b, remat)
         if base is None:
             base = t
