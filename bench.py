@@ -719,18 +719,51 @@ def assemble(state: dict, partial: bool) -> dict:
     }
 
 
-_EMIT_LOCK = threading.Lock()
+# State mutations (section loop) and emission (watchdog thread / signal
+# handlers) race: _STATE_LOCK guards a consistent snapshot.  Emission
+# itself deliberately does NOT block on any lock — a signal handler runs on
+# the MAIN thread, so blocking on a lock held by its own interrupted frame
+# would deadlock.  Instead: best-effort _EMITTED de-dup (a duplicate
+# complete line is harmless — the driver parses the last one) and ONE
+# os.write of the whole payload (< PIPE_BUF, atomic on pipes — no
+# interleaved/truncated JSON even if two emitters race).
+_STATE_LOCK = threading.Lock()
 _EMITTED = False
 
 
+def _snapshot(state: dict) -> dict:
+    # non-blocking: a signal handler may interrupt the main thread INSIDE
+    # the locked mutation block — blocking here would self-deadlock.  In
+    # that case the mutator frame is frozen under us, so a lock-free copy
+    # is safe; the retry loop covers the watchdog-vs-main cross-thread
+    # window (dict mutations are tiny inserts).
+    if _STATE_LOCK.acquire(blocking=False):
+        try:
+            return json.loads(json.dumps(state))
+        finally:
+            _STATE_LOCK.release()
+    for _ in range(5):
+        try:
+            return json.loads(json.dumps(state))
+        except RuntimeError:
+            continue
+    return {"run_start": state.get("run_start", 0.0), "sections": {},
+            "skipped": [], "errors": {}, "durations": {}}
+
+
 def emit(state: dict, partial: bool) -> None:
-    """Print the one headline JSON line (exactly once, thread-safe)."""
+    """Print the one headline JSON line (at-least-once, race-safe)."""
     global _EMITTED
-    with _EMIT_LOCK:
-        if _EMITTED:
-            return
-        _EMITTED = True
-        print(json.dumps(assemble(state, partial)), flush=True)
+    if _EMITTED:
+        return
+    payload = (json.dumps(assemble(_snapshot(state), partial))
+               + "\n").encode()
+    _EMITTED = True
+    try:
+        sys.stdout.flush()
+    except Exception:
+        pass
+    os.write(1, payload)
 
 
 def _install_guards(state: dict, deadline: float) -> None:
@@ -740,7 +773,9 @@ def _install_guards(state: dict, deadline: float) -> None:
     handlers only run between bytecodes, and a blocked remote compile inside
     the XLA client can defer them past the driver's kill.  os._exit skips
     atexit/backend teardown deliberately — the relay client can hang on
-    shutdown."""
+    shutdown.  Both paths emit inside try/finally: the exit must happen
+    even if emission itself fails, and emission must never block (see
+    emit/_snapshot)."""
     def watchdog():
         while True:
             left = deadline - time.monotonic()
@@ -749,8 +784,10 @@ def _install_guards(state: dict, deadline: float) -> None:
             time.sleep(min(left, 1.0))
         print("bench: budget expired — emitting partial results",
               file=sys.stderr, flush=True)
-        emit(state, partial=True)
-        os._exit(0)
+        try:
+            emit(state, partial=True)
+        finally:
+            os._exit(0)
 
     t = threading.Thread(target=watchdog, daemon=True, name="bench-watchdog")
     t.start()
@@ -758,14 +795,47 @@ def _install_guards(state: dict, deadline: float) -> None:
     def on_signal(signum, frame):
         print(f"bench: signal {signum} — emitting partial results",
               file=sys.stderr, flush=True)
-        emit(state, partial=True)
-        os._exit(0)
+        try:
+            emit(state, partial=True)
+        finally:
+            os._exit(0)
 
     for sig in (signal.SIGTERM, signal.SIGALRM):
         try:
             signal.signal(sig, on_signal)
         except (ValueError, OSError):
             pass
+
+
+def _heal_compilation_cache(cache_dir: str) -> str:
+    """Self-heal the persistent JAX compile cache after an unclean exit.
+
+    The watchdog/signal paths os._exit at arbitrary points — possibly mid
+    cache-entry write, and a truncated entry SEGFAULTS jax's cache reader
+    on the next run (CLAUDE.md).  A sentinel inside the cache dir is
+    touched before every section and removed only on clean completion; if
+    it survives, the previous bench died mid-section and every cache file
+    written since the sentinel's last touch is suspect — drop those
+    entries (surgical: the rest of the warm cache is preserved)."""
+    sentinel = os.path.join(cache_dir, ".bench_inflight")
+    if os.path.exists(sentinel):
+        cutoff = os.path.getmtime(sentinel) - 5.0
+        removed = 0
+        for root, _, files in os.walk(cache_dir):
+            for f in files:
+                if f == ".bench_inflight":
+                    continue
+                p = os.path.join(root, f)
+                try:
+                    if os.path.getmtime(p) >= cutoff:
+                        os.remove(p)
+                        removed += 1
+                except OSError:
+                    pass
+        print(f"bench: previous run exited mid-section — dropped {removed} "
+              f"possibly-truncated compile-cache entries", file=sys.stderr,
+              flush=True)
+    return sentinel
 
 
 # ---------------------------------------------------------------------------
@@ -826,7 +896,8 @@ def main() -> None:
 
     attempt = int(os.environ.get(RETRY_ENV, "0"))
     from srcgan_tpu.config import enable_compilation_cache
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
+    sentinel = _heal_compilation_cache(cache_dir)
 
     known = _known_durations()
     for name, fn, est, required in SECTIONS:
@@ -841,11 +912,17 @@ def main() -> None:
         cost = min(1.5 * known[name], est) if name in known else est
         remaining = deadline - time.monotonic()
         if remaining < (15.0 if required else max(30.0, 1.2 * cost)):
-            if name not in state["skipped"]:
-                state["skipped"].append(name)
-            _save_scratch(state)
+            with _STATE_LOCK:
+                if name not in state["skipped"]:
+                    state["skipped"].append(name)
+                _save_scratch(state)
             continue
         t0 = time.monotonic()
+        try:
+            with open(sentinel, "w"):  # mid-section kill => heal next run
+                pass
+        except OSError:
+            pass
         try:
             res = fn()
         except Exception as e:  # noqa: BLE001 — recorded; bench must emit
@@ -853,18 +930,25 @@ def main() -> None:
                 print(f"bench: transient backend failure in {name} (attempt "
                       f"{attempt + 1}/{MAX_ATTEMPTS}), re-exec: {e}",
                       file=sys.stderr, flush=True)
-                _save_scratch(state)
+                with _STATE_LOCK:
+                    _save_scratch(state)
                 _reexec(run_start_wall, deadline - time.monotonic())
-            state["errors"][name] = f"{type(e).__name__}: {e}"
-            _save_scratch(state)
+            with _STATE_LOCK:
+                state["errors"][name] = f"{type(e).__name__}: {e}"
+                _save_scratch(state)
             continue
-        state["sections"][name] = res
-        state["durations"][name] = round(time.monotonic() - t0, 1)
+        with _STATE_LOCK:
+            state["sections"][name] = res
+            state["durations"][name] = round(time.monotonic() - t0, 1)
+            _save_scratch(state)
         _record_duration(name, state["durations"][name])
-        _save_scratch(state)
         print(f"bench: {name} done in {state['durations'][name]}s: {res}",
               file=sys.stderr, flush=True)
 
+    try:  # clean completion: no mid-write kill happened
+        os.remove(sentinel)
+    except OSError:
+        pass
     emit(state, partial=bool(state.get("skipped") or state.get("errors")))
 
 

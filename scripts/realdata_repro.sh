@@ -49,6 +49,27 @@ if [ -z "${SAT2AER_DIR:-}" ]; then
          "$ROOT_NAME/{src,tar}" >&2
     exit 2
 fi
+# The reference stage runs trainCas.py AS COMMITTED: num_epochs=50 and the
+# save cadence (epoch%25) are hardcoded (trainCas.py:161,221), and
+# load_dataset('Sat2Aerx1') pins the root (trainCas.py:180).  Outside dry
+# runs, only configurations the reference can actually produce checkpoints
+# for are accepted — anything else would train for an hour and then fail
+# to find the .pth.
+if [ -z "${DRY_RUN:-}" ]; then
+    case "$EPOCHS" in 25|50) ;; *)
+        echo "realdata_repro: EPOCHS must be 25 or 50 (the reference's" \
+             "hardcoded 50-epoch run saves only at those epochs)" >&2
+        exit 2 ;;
+    esac
+    if [ "$ROOT_NAME" != "Sat2Aerx1" ]; then
+        echo "realdata_repro: ROOT_NAME must be Sat2Aerx1 (hardcoded in" \
+             "the reference's load_dataset call)" >&2
+        exit 2
+    fi
+fi
+# our save cadence: the reference's 25 when it divides EPOCHS, else a
+# single final-epoch save (dry runs with arbitrary EPOCHS)
+if [ $((EPOCHS % 25)) -eq 0 ]; then SAVE_EVERY=25; else SAVE_EVERY=$EPOCHS; fi
 DS="$SAT2AER_DIR/$ROOT_NAME"
 [ -d "$DS/src" ] && [ -d "$DS/tar" ] || {
     echo "realdata_repro: $DS lacks the Sat2Aer layout (src/ + tar/)" >&2
@@ -103,7 +124,8 @@ python -c "$OURS_PRE
 from srcgan_tpu.cli import train_cas
 train_cas.main(['--SRModel', '$SR_MODEL', '--CModel', '$CMODEL',
                 '--up', '$UP', '--num-epochs', '$EPOCHS',
-                '--save-every', '25', '--batch-size', '1', '--seed', '$SEED',
+                '--save-every', '$SAVE_EVERY', '--batch-size', '1',
+                '--seed', '$SEED',
                 '--root', '$ROOT_NAME', '--data-dir', '$SAT2AER_DIR',
                 '--checkpoints', '$WORK/ours/checkpoints'])"
 OUR_CKA="$WORK/ours/checkpoints/${SR_MODEL}_A2C_x${UP}_$(printf %04d "$EPOCHS").npz"

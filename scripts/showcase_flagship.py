@@ -46,7 +46,10 @@ def main():
         "--SRModel", "RDDBNet", "--CModel", "ResDeconv", "--up", "2",
         "--num-epochs", str(EPOCHS), "--batch-size", "8",
         "--bf16-acts", "--augment", "--cache",
-        "--save-every", str(max(EPOCHS // 2, 1)),
+        # mid-run save for the val-PSNR trace when it divides EPOCHS,
+        # else a single final-epoch save (odd/short smoke values)
+        "--save-every", str(EPOCHS // 2 if EPOCHS % 2 == 0 and EPOCHS >= 2
+                            else EPOCHS),
         "--root", root, "--data-dir", data_dir, "--checkpoints", ck,
         "--log-every", "100", "--seed", "0"])
 

@@ -67,7 +67,11 @@ def main(argv=None):
         srcA, realB = preprocess.convert_pair(
             jnp.asarray(src_u8[None]), jnp.asarray(tar_u8[None]), "G2RGB")
         if args.net == "1":
-            realA = ops.interpolate(realB, scale_factor=0.5, mode="nearest")
+            # realA synthesized at the generator's scale (matches the
+            # trainers; the reference's fixed 0.5x is x2-only,
+            # train.py:380-382)
+            realA = ops.interpolate(realB, scale_factor=1.0 / trainer.scale,
+                                    mode="nearest")
         else:
             realA = srcA
         fake_B, fake_A = run(realA, realB)

@@ -291,10 +291,13 @@ def make_synthetic_dataset(path: str, n_train: int = 8, n_val: int = 2,
     total = {"train": n_train, "val": n_val, "test": n_test}
     # dataset-wide tone curve for the colorizable variant: per-channel
     # gamma + affine of the shared field (monotone, so luma -> RGB is
-    # invertible and learnable by the colorizer)
-    tone_gamma = rng.uniform(0.6, 1.6, 3)
-    tone_lo = rng.uniform(0.0, 0.25, 3)
-    tone_hi = rng.uniform(0.75, 1.0, 3)
+    # invertible and learnable by the colorizer).  Drawn ONLY for that
+    # variant — the default variant's RNG stream (and therefore every
+    # seeded dataset recorded before round 4) must stay byte-identical.
+    if colorizable:
+        tone_gamma = rng.uniform(0.6, 1.6, 3)
+        tone_lo = rng.uniform(0.0, 0.25, 3)
+        tone_hi = rng.uniform(0.75, 1.0, 3)
     for split, count in total.items():
         for i in range(count):
             if colorizable:
