@@ -758,12 +758,15 @@ def emit(state: dict, partial: bool) -> None:
         return
     payload = (json.dumps(assemble(_snapshot(state), partial))
                + "\n").encode()
-    _EMITTED = True
     try:
         sys.stdout.flush()
     except Exception:
         pass
     os.write(1, payload)
+    # Mark AFTER the write: a signal landing between the two would otherwise
+    # dedup the racing emitter and exit without any line ever written.
+    # Duplicate complete lines are harmless — the driver parses the last one.
+    _EMITTED = True
 
 
 def _install_guards(state: dict, deadline: float) -> None:
@@ -902,14 +905,25 @@ def main() -> None:
     known = _known_durations()
     for name, fn, est, required in SECTIONS:
         if only_set is not None and name not in only_set:
+            # record de-selected sections as skipped so a restricted run
+            # emits with detail.partial set — distinguishable from a real
+            # complete full-bench line
+            if name not in _OPT_IN_ONLY:
+                with _STATE_LOCK:
+                    if name not in state["skipped"]:
+                        state["skipped"].append(name)
             continue
         if only_set is None and name in _OPT_IN_ONLY:
             continue
         if name in state["sections"]:
             continue
         # expected cost: last observed duration (warm compile cache) with
-        # 1.5x headroom, else the cold-compile estimate
-        cost = min(1.5 * known[name], est) if name in known else est
+        # 1.5x headroom, else the cold-compile estimate.  Trust the
+        # observation in BOTH directions — on a degraded-relay day the
+        # observed duration can exceed the cold estimate, and capping at the
+        # estimate would schedule sections into insufficient budget and
+        # force a watchdog partial exit.
+        cost = 1.5 * known[name] if name in known else est
         remaining = deadline - time.monotonic()
         if remaining < (15.0 if required else max(30.0, 1.2 * cost)):
             with _STATE_LOCK:
@@ -940,6 +954,10 @@ def main() -> None:
         with _STATE_LOCK:
             state["sections"][name] = res
             state["durations"][name] = round(time.monotonic() - t0, 1)
+            if name in state["skipped"]:
+                # a resumed run completed a section an earlier (restricted
+                # or budget-starved) attempt had marked skipped
+                state["skipped"].remove(name)
             _save_scratch(state)
         _record_duration(name, state["durations"][name])
         print(f"bench: {name} done in {state['durations'][name]}s: {res}",

@@ -14,8 +14,8 @@ the three things the repro needs and the reference does not provide:
     stub is installed when the package (or the server) is unavailable.
 
 Exit codes: 0 ok; 3 = reference dependencies missing on this machine
-(skimage / cv2 / torchvision) — realdata_repro.sh treats 3 as a skip in
---dry-run and as a failure otherwise.
+(skimage / cv2 / torchvision / pandas) — realdata_repro.sh treats 3 as a
+skip in --dry-run and as a failure otherwise.
 
 Usage: python scripts/_ref_repro.py <trainCas.py|testCas.py> [args...]
   env: REF_DIR (reference checkout), REPRO_DATASET_DIR (dir holding

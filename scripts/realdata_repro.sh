@@ -28,8 +28,9 @@
 # Env knobs:
 #   REF_DIR     reference checkout (default /root/reference)
 #   SR_MODEL    (RDDBNet) CMODEL (ResDeconv) UP (2) EPOCHS (50) SEED (0)
-#   DRY_RUN=1   tolerate missing reference deps (exit 3 from _ref_repro
-#               skips stages 2/4/5-ref) and missing real imagery — used by
+#   DRY_RUN=1   tolerate missing reference deps (skimage / cv2 /
+#               torchvision / pandas; exit 3 from _ref_repro skips stages
+#               2/4/5-ref) and missing real imagery — used by
 #               tests/test_realdata_kit.py on the synthetic layout
 #   PLATFORM    force a jax platform for OUR stack (e.g. cpu for dry runs)
 set -euo pipefail

@@ -7,12 +7,19 @@ Loads the generator pair, picks the Sat2Aerx2/x4 dataset by mode substring in
 the checkpoint name (test.py:72-75), and writes fake_B / fake_A PNGs for every
 test sample (test.py:80-88).  Unlike the reference, the checkpoint paths are
 honoured as given (test.py:57-58 hardcodes them over argparse).
+
+Beyond the reference (whose test.py only saves images), this driver also
+scores fake_B against realB with the testCas.py eval protocol — the
+[MSE, PSNR, AE, SSIM] evaluator list averaged over the test split and
+appended to result/Performs.csv (testCas.py:63,92-103 schema) — so
+adversarial runs produce the same quantitative artifact as cascade runs.
 """
 from __future__ import annotations
 
 import argparse
 import os
 import sys
+import time
 
 
 def build_parser():
@@ -38,6 +45,7 @@ def main(argv=None):
 
     from srcgan_tpu import data, ops
     from srcgan_tpu.data import preprocess
+    from srcgan_tpu.metrics import per_sample_evaluators
     from srcgan_tpu.train import CycleGANTrainer
     from srcgan_tpu.train.state import load_params
     from srcgan_tpu.utils import vis
@@ -62,6 +70,8 @@ def main(argv=None):
         fake_A = trainer.netG_B.fwd(pB, realB)
         return fake_B, fake_A
 
+    ps_evals = per_sample_evaluators()
+    performs = [[] for _ in ps_evals]
     for idx in range(len(testset)):
         src_u8, tar_u8 = testset.raw(idx)
         srcA, realB = preprocess.convert_pair(
@@ -75,13 +85,34 @@ def main(argv=None):
         else:
             realA = srcA
         fake_B, fake_A = run(realA, realB)
+        acc = ""
+        for i, (ev_name, fn) in enumerate(ps_evals):
+            val = float(np.asarray(fn(fake_B, realB))[0])
+            performs[i].append(val)
+            acc += " {}:{:0.2f};".format(ev_name, val)
         name = testset.datalist[idx]
         vis.save_png(os.path.join(dirA, name),
                      vis.tensor2image_u8(np.clip(np.asarray(fake_B), 0, 1)))
         vis.save_png(os.path.join(dirB, name),
                      vis.tensor2image_u8(np.clip(np.asarray(fake_A), 0, 1)))
-        sys.stdout.write("\rGenerated %s (%04d / %04d)" % (name, idx, len(testset)))
+        sys.stdout.write("\rGenerated %s (%04d / %04d) >> %s" %
+                         (name, idx, len(testset), acc))
     sys.stdout.write("\n")
+
+    # Performs.csv append in the testCas.py:92-103 schema so adversarial
+    # evals land in the same artifact as cascade evals
+    import pandas as pd
+
+    row = [[time.strftime("%h_%d"), tag] +
+           [sum(p) / len(p) for p in performs]]
+    df = pd.DataFrame(row, columns=["time", "checkpoint"] +
+                      [n for n, _ in ps_evals])
+    log_path = os.path.join(args.result_dir, "Performs.csv")
+    if os.path.exists(log_path):
+        df = pd.concat([pd.read_csv(log_path), df], ignore_index=True)
+    df.to_csv(log_path, index=False, float_format="%.3f")
+    print(df.tail(1).to_string(index=False))
+    return df
 
 
 if __name__ == "__main__":

@@ -59,6 +59,9 @@ def build_parser():
                         "--steps-per-dispatch, --bf16-acts and --orbax-dir "
                         "(per-shard moment saves, gather-free restore)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--run-dir", type=str, default="runs/latest",
+                   help="per-run log dir: loss history (losses.jsonl) + "
+                        "live image windows (Visdom-window-per-name PNGs)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize network activations (jax.checkpoint) "
                         "for large tiles / deep models")
@@ -190,7 +193,7 @@ def main(argv=None):
     prev_handler = signal.signal(signal.SIGTERM,
                                  lambda s_, f_: preempted.update(flag=True))
     from srcgan_tpu.utils import live as live_mod
-    live = live_mod.maybe_start(args)
+    live = live_mod.maybe_start(args, run_dir=args.run_dir)
     try:
         return _run(args, preempted)
     finally:
@@ -376,7 +379,7 @@ def _run(args, preempted):
         trainset = data.CachedDataset(trainset)
     print(f"Starting Training Loop... ({len(trainset)} samples, ver={ver}, "
           f"const={args.const}, up={args.up})")
-    logger = Logger(len(trainset), args.num_epochs)
+    logger = Logger(len(trainset), args.num_epochs, image_dir=args.run_dir)
 
     manager = CheckpointManager(args.checkpoints, keep_last=args.keep_last,
                                 keep_best=args.keep_best, mode="max")

@@ -47,6 +47,9 @@ def build_parser():
                         "generator weights (e.g. 0.999) and save it under "
                         "<checkpoints>/ema/ — the eval/shipping copy")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--run-dir", type=str, default="runs/latest",
+                   help="per-run log dir: loss history (losses.jsonl) + "
+                        "live image windows (Visdom-window-per-name PNGs)")
     p.add_argument("--augment", action="store_true",
                    help="random per-sample D4 rotation/flip applied to both "
                         "images of each training pair (deterministic per "
@@ -103,7 +106,7 @@ def main(argv=None):
     prev_handler = signal.signal(signal.SIGTERM,
                                  lambda s_, f_: preempted.update(flag=True))
     from srcgan_tpu.utils import live as live_mod
-    live = live_mod.maybe_start(args)
+    live = live_mod.maybe_start(args, run_dir=args.run_dir)
     try:
         return _run(args, preempted)
     finally:
@@ -246,7 +249,7 @@ def _run(args, preempted):
 
     trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)
     print(f"Starting Training Loop... ({len(trainset)} samples, net={args.net})")
-    logger = Logger(len(trainset), args.num_epochs)
+    logger = Logger(len(trainset), args.num_epochs, image_dir=args.run_dir)
 
     for epoch in range(start_epoch, args.num_epochs + 1):
         g_lr, d_lr = trainer.lr_at_epoch(epoch)

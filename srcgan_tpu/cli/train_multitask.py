@@ -46,6 +46,9 @@ def build_parser():
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--checkpoints", type=str, default="./checkpoints")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--run-dir", type=str, default="runs/latest",
+                   help="per-run log dir: loss history (losses.jsonl) + "
+                        "live image windows (Visdom-window-per-name PNGs)")
     p.add_argument("--augment", action="store_true",
                    help="random per-sample D4 rotation/flip applied to both "
                         "images of each training pair (deterministic per "
@@ -59,7 +62,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     from srcgan_tpu.utils import live as live_mod
-    live = live_mod.maybe_start(args)
+    live = live_mod.maybe_start(args, run_dir=args.run_dir)
     try:
         return _run(args)
     finally:
@@ -106,7 +109,7 @@ def _run(args):
 
     trainset = data.FileListDataset(root, "train", "G2RGB", args.data_dir)
     print(f"Starting Training Loop... ({len(trainset)} samples, multi-task)")
-    logger = Logger(len(trainset), args.num_epochs)
+    logger = Logger(len(trainset), args.num_epochs, image_dir=args.run_dir)
     sf = 2 if args.mode == "x2" else 4
 
     pool_state = None  # --device-pool: lazily built from first batch shapes

@@ -363,4 +363,10 @@ class SpatialShardedTiledPredictor(SpatialShardedPredictor, TiledPredictor):
 
     Cooperative __init__ chain: SpatialSharded consumes ``mesh``, Tiled
     consumes ``tile``/``overlap``/``max_batch``, CascadePredictor the rest.
+
+    Sub-tile scenes dispatch native-shape through the height-sharded
+    program; GSPMD's uneven sharding + conv halo exchange handle heights
+    smaller than (or not divisible by) the mesh — pinned by
+    tests/test_serve.py::test_sharded_subtile_odd_scenes down to H < mesh
+    size.
     """

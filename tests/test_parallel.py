@@ -136,6 +136,48 @@ class TestCasDP:
         tree_allclose(st_single.sr.params, st_dp.sr.params, atol=1e-3)
         tree_allclose(st_single.c.params, st_dp.c.params, atol=1e-3)
 
+    @pytest.mark.parametrize("variant", ["lab", "const"])
+    def test_dp_steps_u8_lab_const_match_single_device(self, variant):
+        """The LAB and Const cascades under the mesh (VERDICT r4 item 6).
+
+        The LAB step's on-device colorspace path (convert_pair ver='G2LAB',
+        rgb2lab inside the shard_map'd scan body) and the Const step's
+        down-then-up degradation had never been compiled under a mesh —
+        they share step machinery with the G2RGB step, but the colorspace
+        and degradation programs are their own code paths."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if variant == "lab":
+            tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2,
+                            lab=True)
+        else:
+            tr = CasTrainer(sr_model="SRCNN", c_model="ResDeconv", up=2,
+                            const=True)
+        st0 = tr.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(7)
+        K, N, S = 2, 8, 16
+        src = jnp.asarray(rng.integers(0, 256, (K, N, S, S, 3),
+                                       dtype=np.uint8))
+        tar = jnp.asarray(rng.integers(0, 256, (K, N, S, S, 3),
+                                       dtype=np.uint8))
+
+        st_copy = jax.tree_util.tree_map(jnp.array, st0)
+        st_single, m_single = tr.train_steps_u8(st_copy, src, tar, 1e-4)
+
+        mesh = parallel.make_mesh()
+        steps = parallel.make_cas_dp_steps_u8(tr, mesh)
+        sh = NamedSharding(mesh, P(None, "data"))
+        st_dp, m_dp = steps(parallel.put_replicated(st0, mesh),
+                            jax.device_put(src, sh),
+                            jax.device_put(tar, sh), 1e-4)
+
+        np.testing.assert_allclose(np.asarray(m_single["loss_SR"]),
+                                   np.asarray(m_dp["loss_SR"]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(m_single["loss_C"]),
+                                   np.asarray(m_dp["loss_C"]), rtol=1e-4)
+        tree_allclose(st_single.sr.params, st_dp.sr.params, atol=1e-3)
+        tree_allclose(st_single.c.params, st_dp.c.params, atol=1e-3)
+
     def test_dp_two_steps_progress(self):
         tr = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
         mesh = parallel.make_mesh()

@@ -365,6 +365,35 @@ def test_mesh_sharded_daemon(tmp_path):
             srv.scene_gate.close()
 
 
+def test_sharded_subtile_odd_scenes(tmp_path):
+    """Sub-tile scenes bypass tiling and dispatch native-shape through the
+    height-sharded program (serving.py TiledPredictor.predict_scene).
+    ADVICE r4: heights smaller than / not divisible by the mesh rely on
+    GSPMD uneven sharding + conv halo exchange — pin that those shapes
+    compile and match the unsharded predictor (incl. H < mesh size)."""
+    from srcgan_tpu import serving
+
+    sr = models.ESPCN(1, 1, 2)
+    c = models.ResDeconv(1, 3)
+    pA = sr.init(jax.random.PRNGKey(0))
+    pB = c.init(jax.random.PRNGKey(1))
+    sharded = serving.SpatialShardedTiledPredictor(
+        sr, pA, c, pB, up=2, tile=32, overlap=8, max_batch=2)
+    assert sharded.mesh.devices.size == 8
+    base = serving.TiledPredictor(sr, pA, c, pB, up=2, tile=32,
+                                  overlap=8, max_batch=2)
+    for shape in [(23, 40),   # sub-tile, H not divisible by the mesh
+                  (7, 33),    # H smaller than the mesh size
+                  (37, 31)]:  # odd H just above the tile core
+        scene = np.random.default_rng(5).integers(
+            0, 256, shape, dtype=np.uint8)
+        out = sharded.predict_scene(scene)
+        ref = base.predict_scene(scene)
+        assert out.shape == ref.shape
+        # sharded conv reduction order may flip the uint8 rounding boundary
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
 def test_scene_gate_drains_and_503s():
     """SceneGate: requests after close() begins raise ShuttingDown; close()
     waits for in-flight scenes to finish."""
