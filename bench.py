@@ -51,6 +51,9 @@ ITERS = 10
 TORCH_ITERS = 2
 _HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(_HERE, ".bench_torch_baseline.json")
+# torch-CPU baseline cache lifetime: ~one build round.  Older caches are
+# re-measured so the headline's vs_baseline denominator stays fresh.
+MAX_BASELINE_AGE_S = 7 * 86400.0
 SCRATCH = os.environ.get("SRCGAN_BENCH_SCRATCH",
                          os.path.join(_HERE, ".bench_scratch.json"))
 
@@ -58,6 +61,12 @@ SCRATCH = os.environ.get("SRCGAN_BENCH_SCRATCH",
 # not the torch-CPU strawman; assumed peak is emitted alongside so the
 # number stays interpretable on other chips.
 PEAK_BF16_TFLOPS = 197.0
+# v5e per-chip HBM bandwidth (~0.8 TB/s; docs/PERF.md cost-model section)
+# and ICI egress for a bidirectional ring (2 links x ~45 GB/s one-way) —
+# assumed constants for the memory-bound/DP-scaling projections; emitted
+# alongside their keys so the numbers stay interpretable on other chips.
+PEAK_HBM_GBPS = 819.0
+ICI_RING_GBPS = 90.0
 
 # Recorded perf bands: round-2 driver-captured numbers (BENCH_r02.json) and
 # the round-3 measurements in docs/PERF.md.  A headline key falling >20%
@@ -99,8 +108,8 @@ def check_regressions(detail: dict,
     return out
 
 
-def _cost_flops(fn, *args) -> float | None:
-    """Model-FLOP count of jit(fn)(*args) via XLA's compiled cost analysis.
+def _cost_analysis(fn, *args) -> dict | None:
+    """XLA compiled cost analysis of jit(fn)(*args) as a plain dict.
 
     Returns None when the backend exposes no analysis.  Programs are lowered
     without Pallas custom calls (callers gate) so every FLOP is visible to
@@ -111,10 +120,18 @@ def _cost_flops(fn, *args) -> float | None:
         ca = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
+        return dict(ca)
     except Exception:
         return None
+
+
+def _cost_flops(fn, *args) -> float | None:
+    """Model-FLOP count via XLA's compiled cost analysis (None if absent)."""
+    ca = _cost_analysis(fn, *args)
+    if not ca:
+        return None
+    f = float(ca.get("flops", 0.0))
+    return f if f > 0 else None
 
 
 def _mfu_pct(flops, seconds) -> float:
@@ -347,13 +364,39 @@ def sec_gan() -> dict:
         per = (t4 - t1) / 3
         out = {"gan_step_ms": round(per * 1000, 1),
                "gan_iters_per_s": round(1.0 / per, 2)}
-        # GAN-step MFU: cost analysis of the SAME fused gd_step (full state
-        # returned — no DCE), judged against the machine like the cascade is.
-        fl = _cost_flops(
+        # GAN-step MFU + HBM utilization: cost analysis of the SAME fused
+        # gd_step (full state returned — no DCE), judged against the machine
+        # like the cascade is.  bytes-accessed/step_time vs HBM peak makes
+        # the "memory-bound at 10% MFU" diagnosis quantitative (VERDICT r4
+        # item 4); the cost model counts bytes as if nothing fused, so the
+        # figure is demanded-bytes pressure — >100% means XLA MUST fuse away
+        # traffic to hit the measured time, i.e. firmly bandwidth-limited.
+        ca = _cost_analysis(
             lambda st, a, bb: tr.gd_step(st, a, bb, 1e-4, 1e-5),
             st0, realA, realB)
-        if fl:
+        fl = float(ca.get("flops", 0.0)) if ca else 0.0
+        if fl > 0:
             out["gan_mfu_pct"] = _mfu_pct(fl, per)
+        by = float(ca.get("bytes accessed", 0.0)) if ca else 0.0
+        if by > 0:
+            out["gan_hbm_util_pct"] = round(
+                100.0 * by / per / (PEAK_HBM_GBPS * 1e9), 1)
+            out["gan_costmodel_gb_per_iter"] = round(by / 1e9, 2)
+        # 8-chip DP projection at the reference's bs=1 protocol: the psum
+        # payload is one fp32 gradient copy of G+D per step; a bidirectional
+        # ring all-reduce moves 2*(N-1)/N * payload over ICI_RING_GBPS
+        # egress.  The projection makes "DP at bs=1 is the scaling axis"
+        # (docs/PERF.md) a modeled number rather than prose.
+        import jax as _jax
+
+        payload = sum(v.size * 4 for v in _jax.tree_util.tree_leaves(
+            (st0.g.params, st0.d.params)))
+        n = 8
+        allred_s = 2 * (n - 1) / n * payload / (ICI_RING_GBPS * 1e9)
+        out["gan_dp_psum_mbytes"] = round(payload / 1e6, 1)
+        out["gan_dp8_allreduce_ms_proj"] = round(allred_s * 1000, 2)
+        out["gan_dp8_efficiency_pct_proj"] = round(
+            100.0 * per / (per + allred_s), 1)
         return out
     finally:
         config.set_conv_precision("highest")
@@ -512,15 +555,135 @@ def sec_int8() -> dict:
             "int8_fwd_ms": round(per * 1000, 2)}
 
 
+def sec_serving() -> dict:
+    """Serving-stack performance (VERDICT r4 item 3) — the subsystem that
+    replaces the reference's per-sample eval loop (testCas.py:65-88):
+
+      (a) CascadePredictor fused uint8->uint8 throughput: the flagship x4
+          cascade (RDDBNet + ResDeconv colorizer, bf16) served through
+          predict_stream with distinct inputs per batch (identical calls
+          may be result-cached through the relay) and every output
+          materialized to host — end-to-end numbers INCLUDING dispatch and
+          D2H, i.e. what a serving client actually gets.
+      (b) daemon end-to-end latency: cli.serve over local HTTP, 4
+          concurrent clients x 10 PNG requests each through the
+          micro-batcher; client-side P50/P99 after a warmup request.
+    """
+    import http.client
+    import io
+    import tempfile
+    import threading as _thr
+
+    import jax
+
+    from srcgan_tpu import models, serving
+
+    rng = np.random.default_rng(0)
+    sr = models.RDDBNet(1, 1, 4)
+    col = models.ResDeconv(1, 3)
+    sr_p = sr.init(jax.random.PRNGKey(0))
+    c_p = col.init(jax.random.PRNGKey(1))
+    out: dict = {}
+
+    # --- (a) fused predictor throughput ---------------------------------
+    pred = serving.CascadePredictor(sr, sr_p, col, c_p, up=4, bf16=True)
+    nb, b = 10, BATCH
+    batches = [rng.integers(0, 256, (b, IN_SIZE, IN_SIZE, 1), dtype=np.uint8)
+               for _ in range(nb + 1)]
+    np.asarray(pred.predict(batches[-1]))  # compile + warm
+    t0 = time.perf_counter()
+    got = 0
+    for o in pred.predict_stream(iter(batches[:nb])):
+        got += o.shape[0]
+    dt = time.perf_counter() - t0
+    assert got == nb * b, got
+    out["serving_u8_mps"] = round(nb * b * (IN_SIZE * 4) ** 2 / 1e6 / dt, 2)
+
+    # --- (b) daemon latency under concurrent load ------------------------
+    from PIL import Image
+
+    from srcgan_tpu.cli import serve
+    from srcgan_tpu.train.state import checkpoint_name, save_params
+
+    with tempfile.TemporaryDirectory() as td:
+        ga = os.path.join(td, checkpoint_name("RDDBNet", "A2C", 4, 1))
+        gb = os.path.join(td, checkpoint_name("ResDeconv", "C2B", 4, 1))
+        save_params(ga, sr_p)
+        save_params(gb, c_p)
+        args = serve.build_parser().parse_args(
+            ["--netGA", ga, "--netGB", gb, "--port", "0", "--bf16",
+             "--max-batch", "4", "--pad-batch", "4"])
+        srv = serve.make_server(args)
+        t = _thr.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = srv.server_address[1]
+
+            def post(img) -> float:
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, format="PNG")
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=300)
+                q0 = time.perf_counter()
+                conn.request("POST", "/predict", body=buf.getvalue(),
+                             headers={"Content-Type": "image/png"})
+                r = conn.getresponse()
+                body = r.read()
+                conn.close()
+                assert r.status == 200, body[:200]
+                return time.perf_counter() - q0
+
+            post(rng.integers(0, 256, (IN_SIZE, IN_SIZE),
+                              dtype=np.uint8))  # compile + warm
+            lat: list = []
+            lock = _thr.Lock()
+
+            def client(seed):
+                r2 = np.random.default_rng(seed)
+                for _ in range(10):
+                    d = post(r2.integers(0, 256, (IN_SIZE, IN_SIZE),
+                                         dtype=np.uint8))
+                    with lock:
+                        lat.append(d)
+
+            cs = [_thr.Thread(target=client, args=(i,)) for i in range(4)]
+            w0 = time.perf_counter()
+            for c_ in cs:
+                c_.start()
+            for c_ in cs:
+                c_.join()
+            wall = time.perf_counter() - w0
+            arr = np.sort(np.array(lat))
+            out["serving_daemon_p50_ms"] = round(
+                float(np.percentile(arr, 50)) * 1000, 1)
+            out["serving_daemon_p99_ms"] = round(
+                float(np.percentile(arr, 99)) * 1000, 1)
+            out["serving_daemon_rps"] = round(len(arr) / wall, 2)
+        finally:
+            srv.shutdown()
+            srv.batcher.close()
+            if getattr(srv, "scene_gate", None) is not None:
+                srv.scene_gate.close()
+    return out
+
+
 def sec_torch_baseline() -> dict:
     """Torch-CPU baseline: an equivalent RDDBNet built with torch.nn.
 
-    Cached to disk after first measurement (the torch number is a property of
-    the host CPU, not of our code)."""
+    Cached to disk after first measurement (the torch number is a property
+    of the host CPU, not of our code) — but the cache EXPIRES after
+    MAX_BASELINE_AGE_S (VERDICT r4: a stale denominator makes vs_baseline
+    a non-fresh comparison), and the headline always carries the cache age
+    so the freshness is transparent either way."""
     if os.path.exists(BASELINE_CACHE):
         try:
             with open(BASELINE_CACHE) as f:
-                return {"torch_cpu_mps": round(float(json.load(f)["mps"]), 3)}
+                cached = json.load(f)
+            age = time.time() - float(cached.get("t", 0.0))
+            if 0 <= age <= MAX_BASELINE_AGE_S:
+                return {"torch_cpu_mps": round(float(cached["mps"]), 3),
+                        "torch_cpu_mps_age_h": round(age / 3600, 1)}
+            # stale (or written by the pre-timestamp format): re-measure
         except Exception:
             pass
 
@@ -587,10 +750,10 @@ def sec_torch_baseline() -> dict:
     mps = (IN_SIZE * 4) ** 2 / 1e6 / dt
     try:
         with open(BASELINE_CACHE, "w") as f:
-            json.dump({"mps": mps, "in_size": IN_SIZE}, f)
+            json.dump({"mps": mps, "in_size": IN_SIZE, "t": time.time()}, f)
     except OSError:
         pass
-    return {"torch_cpu_mps": round(mps, 3)}
+    return {"torch_cpu_mps": round(mps, 3), "torch_cpu_mps_age_h": 0.0}
 
 
 def sec_sleep() -> dict:
@@ -614,6 +777,7 @@ SECTIONS: list[tuple[str, object, float, bool]] = [
     ("gan", sec_gan, 150.0, True),
     ("gan_pooled", sec_gan_pooled, 100.0, False),
     ("lab_bf16", sec_lab_bf16, 110.0, False),
+    ("serving", sec_serving, 150.0, False),
     ("fwd_fp32", sec_fwd_fp32, 110.0, False),
     ("train_fp32_acts", sec_train_fp32_acts, 120.0, False),
     ("lab_fp32_acts", sec_lab_fp32_acts, 100.0, False),

@@ -28,10 +28,13 @@
 # Env knobs:
 #   REF_DIR     reference checkout (default /root/reference)
 #   SR_MODEL    (RDDBNet) CMODEL (ResDeconv) UP (2) EPOCHS (50) SEED (0)
-#   DRY_RUN=1   tolerate missing reference deps (skimage / cv2 /
-#               torchvision / pandas; exit 3 from _ref_repro skips stages
-#               2/4/5-ref) and missing real imagery — used by
-#               tests/test_realdata_kit.py on the synthetic layout
+#   DRY_RUN=1   rehearsal mode: numpy-faithful stubs are installed for
+#               MISSING reference deps (skimage / torchvision; see
+#               _ref_repro.py REPRO_STUB_DEPS) so the reference stages
+#               execute even on this image — all five stages run.  If
+#               stubbing still leaves a dep missing (exit 3), stages
+#               2/4/5-ref are skipped instead of failing.  Used by
+#               tests/test_realdata_kit.py on the synthetic layout.
 #   PLATFORM    force a jax platform for OUR stack (e.g. cpu for dry runs)
 set -euo pipefail
 
@@ -105,6 +108,7 @@ REF_CKB="$WORK/ref/checkpoints/${CMODEL}_C2B_x${UP}_$(printf %04d "$EPOCHS").pth
 run_ref() {  # run_ref <script.py> [args...] — cwd $WORK/ref, rc 3 tolerated in dry runs
     ( cd "$WORK/ref" && mkdir -p checkpoints result && \
       REF_DIR="$REF_DIR" REPRO_DATASET_DIR="$SAT2AER_DIR" REPRO_SEED="$SEED" \
+      REPRO_STUB_DEPS="${DRY_RUN:+1}" \
       python "$HERE/scripts/_ref_repro.py" "$@" )
 }
 if run_ref trainCas.py --SRModel "$SR_MODEL" --CModel "$CMODEL" --up "$UP"; then
@@ -151,8 +155,13 @@ test_cas.main(['--netGA', '$REF_CKA', '--netGB', '$REF_CKB',
     python "$HERE/scripts/diff_performs.py" \
         "$WORK/ref/result/Performs.csv" "$WORK/cross/result/Performs.csv"
     echo "-- training parity (independent runs, same protocol):"
+    # Dry runs train a handful of epochs on a handful of synthetic tiles —
+    # two INDEPENDENT trainings need not land within the production bars
+    # there; the diff is still printed.  Real runs stay strict.
     python "$HERE/scripts/diff_performs.py" \
-        "$WORK/ref/result/Performs.csv" "$WORK/ours/result/Performs.csv"
+        "$WORK/ref/result/Performs.csv" "$WORK/ours/result/Performs.csv" \
+        || { [ -n "${DRY_RUN:-}" ] && \
+             echo "   (outside bars — tolerated in dry runs)"; }
 else
     echo "== [4-5/5] skipped (no reference run in this environment)"
     [ -f "$WORK/ours/result/Performs.csv" ] || exit 1

@@ -61,6 +61,10 @@ def main():
         "--net", "1", "--mode", "x2",
         "--num-epochs", str(EPOCHS), "--batch-size", "1",
         "--pool-size", "4", "--device-pool",
+        # NOT --steps-per-dispatch: the K=16-fused G+pool+D scanned program
+        # (16 remat'd six-pass iterations in one HLO) took >15 min to
+        # compile through the relay — the per-iteration program compiles in
+        # ~2 min and the ~1 s/iter wall is dominated by device time anyway
         "--save-every", str(max(EPOCHS // 6, 1)),
         "--root", root, "--data-dir", data_dir, "--checkpoints", ck,
         "--run-dir", run_dir,

@@ -62,6 +62,40 @@ class TestCheckRegressions:
 
 
 # ---------------------------------------------------------------------------
+# Unit: torch-CPU baseline cache freshness (VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+
+class TestBaselineFreshness:
+    def test_fresh_cache_reused_with_age(self, tmp_path, monkeypatch):
+        cache = tmp_path / "bl.json"
+        cache.write_text(json.dumps(
+            {"mps": 0.5, "in_size": bench.IN_SIZE,
+             "t": time.time() - 3600.0}))
+        monkeypatch.setattr(bench, "BASELINE_CACHE", str(cache))
+        out = bench.sec_torch_baseline()
+        assert out["torch_cpu_mps"] == 0.5
+        assert 0.9 <= out["torch_cpu_mps_age_h"] <= 1.2
+
+    def test_stale_cache_remeasured(self, tmp_path, monkeypatch):
+        """A cache older than MAX_BASELINE_AGE_S (or written by the
+        pre-timestamp format) is re-measured and re-stamped."""
+        cache = tmp_path / "bl.json"
+        cache.write_text(json.dumps({"mps": 0.5,
+                                     "in_size": bench.IN_SIZE}))  # no 't'
+        monkeypatch.setattr(bench, "BASELINE_CACHE", str(cache))
+        # shrink the torch net's work: 1 iter on a tiny input via the
+        # module constants (the measurement path, not the math, is under
+        # test)
+        monkeypatch.setattr(bench, "TORCH_ITERS", 1)
+        monkeypatch.setattr(bench, "IN_SIZE", 16)
+        out = bench.sec_torch_baseline()
+        assert out["torch_cpu_mps"] != 0.5
+        assert out["torch_cpu_mps_age_h"] == 0.0
+        stamped = json.loads(cache.read_text())
+        assert stamped["t"] > 0 and stamped["in_size"] == 16
+
+
+# ---------------------------------------------------------------------------
 # Unit: headline assembly from partial section state
 # ---------------------------------------------------------------------------
 

@@ -54,12 +54,16 @@ class TestDiffPerforms:
         assert diff_performs.main([str(ref), str(ours)]) == 2
 
 
-def test_realdata_repro_dry_run(tmp_path):
-    """The staged script runs end-to-end on the synthetic layout: builds
-    split lists, trains + evals our stack (CPU platform pin), and — since
-    the reference's deps (skimage/cv2) are absent in this image — records
-    the reference stages as skipped instead of failing.  On a machine with
-    the imagery + deps the same script runs all five stages."""
+def test_realdata_repro_dry_run_all_stages(tmp_path):
+    """The staged script runs ALL FIVE stages end-to-end on the synthetic
+    layout (VERDICT r4 item 5 — no stage skipped): builds split lists,
+    executes the REFERENCE's committed trainCas.py + testCas.py (torch is
+    installed here; the missing skimage/torchvision surface is stubbed
+    numpy-faithfully by _ref_repro REPRO_STUB_DEPS, visdom no-op'd,
+    Dataset_DIR repointed), trains + evals our stack on the same protocol,
+    cross-evals the reference-trained .pth through our stack, and diffs
+    both Performs.csv pairs.  On a machine with the imagery + real deps
+    the same script runs identically without stubs."""
     from srcgan_tpu import data
 
     data.make_synthetic_dataset(str(tmp_path / "ds" / "Sat2Aerx1"),
@@ -76,14 +80,25 @@ def test_realdata_repro_dry_run(tmp_path):
     proc = subprocess.run(
         ["bash", os.path.join(REPO, "scripts", "realdata_repro.sh"),
          str(tmp_path / "work")],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+    # ZERO skipped stages: the reference actually ran
+    assert "SKIPPED" not in proc.stdout and "skipped" not in proc.stdout, \
+        proc.stdout
     # lists were built
     assert (tmp_path / "ds" / "Sat2Aerx1" / "train.txt").exists()
-    # our stack produced the protocol CSV
+    # stage 2: the reference's own checkpoints + Performs.csv exist
+    assert (tmp_path / "work" / "ref" / "checkpoints"
+            / "ESPCN_A2C_x2_0025.pth").exists()
+    ref_csv = tmp_path / "work" / "ref" / "result" / "Performs.csv"
+    assert ref_csv.exists() and "ESPCN_A2C_x2_0025" in ref_csv.read_text()
+    # stage 3: our stack's protocol CSV
     csv_path = tmp_path / "work" / "ours" / "result" / "Performs.csv"
-    assert csv_path.exists()
-    body = csv_path.read_text()
-    assert "ESPCN_A2C_x2_0025" in body
-    # reference stages were skipped, not failed
-    assert "SKIPPED (dry run)" in proc.stdout
+    assert "ESPCN_A2C_x2_0025" in csv_path.read_text()
+    # stage 4: the reference-trained .pth scored through OUR eval stack
+    cross_csv = tmp_path / "work" / "cross" / "result" / "Performs.csv"
+    assert "ESPCN_A2C_x2_0025" in cross_csv.read_text()
+    # stage 5 ran both diffs (engine parity may legitimately be within
+    # bars; training parity on a 25-epoch 4-tile smoke need not be)
+    assert "engine parity" in proc.stdout
+    assert "training parity" in proc.stdout
