@@ -171,6 +171,8 @@ def main(argv=None):
 
         scales = quant.calibrate_fn(eager_fwd, cal)
         print(f"int8: calibrated {len(scales)} conv callsites")
+        print("int8 note: accuracy tooling only on this hardware — bf16 "
+              "('--precision default') is ~2x faster (docs/INT8_CLOSURE.md)")
         run_ctx = lambda: quant.quant_mode("int8", scales)
 
     tail_ctx = contextlib.nullcontext

@@ -48,7 +48,7 @@ class CasTrainer:
                  lab: bool = False, lr_policy: str = "cosine",
                  num_epochs: int = 50, remat: bool = False,
                  perceptual_params=None, perceptual_weight: float = 1.0,
-                 act_dtype=None):
+                 act_dtype=None, fused_input: bool = False):
         self.sr_name, self.c_name = sr_model, c_model
         self.up, self.lr, self.const, self.lab = up, lr, const, lab
         self.lr_policy, self.num_epochs = lr_policy, num_epochs
@@ -71,6 +71,16 @@ class CasTrainer:
                              "colorizer predicts 2-channel ab maps)")
         self.perceptual_params = perceptual_params
         self.perceptual_weight = perceptual_weight
+        # fused_input: the uint8 steps derive (real_BC, real_BA) via the
+        # Pallas preprocess kernel (ops/pallas/preprocess_kernel.py — one
+        # VMEM pass: u8 decode + luma + MXU bilinear degrade) instead of
+        # the XLA convert+luma+interpolate chain.  Exact math either way;
+        # G2RGB non-const only (the kernel computes the bilinear 1/up
+        # degradation of luma).
+        if fused_input and (lab or const):
+            raise ValueError("fused_input applies to the G2RGB non-const "
+                             "uint8 input path only")
+        self.fused_input = fused_input
         # trainCas.py:30-31 / trainCasLAB.py:31
         self.netG_A2C = models.create(sr_model, 1, 1, up)
         self.netG_C2B = models.create(c_model, 1, 2 if lab else 3)
@@ -123,15 +133,22 @@ class CasTrainer:
         outputs on the same inputs; the base trainer has no teacher."""
         return None, None
 
-    def grads(self, state: CasState, realA, realB):
+    def grads(self, state: CasState, realA, realB, precomputed=None):
         """Per-shard gradient computation (pure; no update).
 
         Returns (grads {sr, c}, model_states {sr, c}, metrics).  Split from
         the update so the data-parallel wrapper can psum grads across the
         mesh before applying them (srcgan_tpu.parallel.dp).
+        ``precomputed``: optional (real_BC, real_BA) pair from the fused
+        Pallas preprocess kernel (fused_input); realB is then the stage-2
+        target directly.
         """
-        real_BC, tgt_B = self._split_targets(realB)
-        real_BA = self._degrade(real_BC)
+        if precomputed is not None:
+            real_BC, real_BA = precomputed
+            tgt_B = realB
+        else:
+            real_BC, tgt_B = self._split_targets(realB)
+            real_BA = self._degrade(real_BC)
         sr_in, c_in = real_BA, real_BC
         if self.act_dtype is not None:
             sr_in = sr_in.astype(self.act_dtype)
@@ -275,11 +292,29 @@ class CasTrainer:
 
         def body(st, batch):
             s, t = batch
-            realA, realB = preprocess.convert_pair(s, t, ver)
-            grads, mstates, metrics = self.grads(st, realA, realB)
+            realA, realB, pre = self._u8_inputs(s, t, ver)
+            grads, mstates, metrics = self.grads(st, realA, realB,
+                                                 precomputed=pre)
             return self.apply_grads(st, grads, mstates, lr), metrics
 
         return jax.lax.scan(body, state, (src_u8_k, tar_u8_k))
+
+    def _u8_inputs(self, src_u8, tar_u8, ver):
+        """(realA, realB, precomputed) for the uint8 steps; fused_input
+        routes the gray+degrade chain through the Pallas kernel."""
+        if self.fused_input:
+            import jax as _jax
+
+            from srcgan_tpu.ops.pallas.preprocess_kernel import (
+                fused_gray_degrade)
+
+            interpret = _jax.devices()[0].platform != "tpu"
+            real_BC, real_BA = fused_gray_degrade(tar_u8, self.up,
+                                                  interpret=interpret)
+            realB = tar_u8.astype(jnp.float32) / 255.0
+            return realB, realB, (real_BC, real_BA)
+        realA, realB = preprocess.convert_pair(src_u8, tar_u8, ver)
+        return realA, realB, None
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step_u8(self, state: CasState, src_u8, tar_u8, lr):
@@ -287,9 +322,10 @@ class CasTrainer:
         same XLA program as the model step — uint8 batches cross host->HBM
         (4x smaller than fp32) and the preprocessing fuses into the first
         convs with no extra dispatch."""
-        realA, realB = preprocess.convert_pair(
+        realA, realB, pre = self._u8_inputs(
             src_u8, tar_u8, "G2LAB" if self.lab else "G2RGB")
-        grads, mstates, metrics = self.grads(state, realA, realB)
+        grads, mstates, metrics = self.grads(state, realA, realB,
+                                             precomputed=pre)
         return self.apply_grads(state, grads, mstates, lr), metrics
 
     # -- transfer / eval cascade (trainCas.py:103-109, testCas protocol) -----

@@ -38,6 +38,39 @@ class TestFusedPreprocess:
         np.testing.assert_allclose(np.asarray(g), np.asarray(real_bc), atol=1e-6)
         np.testing.assert_allclose(np.asarray(low), np.asarray(real_ba), atol=1e-6)
 
+    def test_fused_input_step_matches_xla_step(self):
+        """CasTrainer(fused_input=True): the uint8 train step routed through
+        the Pallas preprocess kernel equals the XLA-preprocessing step —
+        same losses, same updated params (the kernel is exact, so only
+        float-noise tolerance)."""
+        from srcgan_tpu.train import CasTrainer
+
+        tr_x = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2)
+        tr_f = CasTrainer(sr_model="ESPCN", c_model="ResDeconv", up=2,
+                          fused_input=True)
+        st_x = tr_x.init(jax.random.PRNGKey(0))
+        st_f = jax.tree_util.tree_map(jnp.array, st_x)
+        src = jnp.asarray(RNG.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))
+        tar = jnp.asarray(RNG.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))
+        st_x, m_x = tr_x.train_step_u8(st_x, src, tar, 1e-4)
+        st_f, m_f = tr_f.train_step_u8(st_f, src, tar, 1e-4)
+        np.testing.assert_allclose(float(m_x["loss_SR"]),
+                                   float(m_f["loss_SR"]), rtol=1e-6)
+        np.testing.assert_allclose(float(m_x["loss_C"]),
+                                   float(m_f["loss_C"]), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(st_x.sr.params),
+                        jax.tree_util.tree_leaves(st_f.sr.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)
+
+    def test_fused_input_rejects_lab_const(self):
+        from srcgan_tpu.train import CasTrainer
+
+        with pytest.raises(ValueError):
+            CasTrainer(lab=True, fused_input=True)
+        with pytest.raises(ValueError):
+            CasTrainer(sr_model="SRCNN", const=True, fused_input=True)
+
 
 class TestPhasefoldTail:
     """phasefold_deconv_tail == materialized deconv tail (reference
