@@ -86,10 +86,11 @@ def main(argv=None):
             realA = srcA
         fake_B, fake_A = run(realA, realB)
         acc = ""
-        for i, (ev_name, fn) in enumerate(ps_evals):
-            val = float(np.asarray(fn(fake_B, realB))[0])
-            performs[i].append(val)
-            acc += " {}:{:0.2f};".format(ev_name, val)
+        if fake_B.shape == realB.shape:
+            for i, (ev_name, fn) in enumerate(ps_evals):
+                val = float(np.asarray(fn(fake_B, realB))[0])
+                performs[i].append(val)
+                acc += " {}:{:0.2f};".format(ev_name, val)
         name = testset.datalist[idx]
         vis.save_png(os.path.join(dirA, name),
                      vis.tensor2image_u8(np.clip(np.asarray(fake_B), 0, 1)))
@@ -100,7 +101,13 @@ def main(argv=None):
     sys.stdout.write("\n")
 
     # Performs.csv append in the testCas.py:92-103 schema so adversarial
-    # evals land in the same artifact as cascade evals
+    # evals land in the same artifact as cascade evals.  Skipped when
+    # fake_B and realB shapes differ (a generator/dataset pairing where
+    # the SR output has no same-size target — the reference's test.py
+    # computes no metrics at all there either, test.py:80-88).
+    if not performs[0]:
+        print("fake_B/realB shapes differ — no metric rows (PNGs only)")
+        return None
     import pandas as pd
 
     row = [[time.strftime("%h_%d"), tag] +

@@ -358,6 +358,35 @@ class TestCycleGANEval:
         ])
         outs = os.listdir(tmp_path / "result")
         assert any(d.startswith("cyc_fakeB_") for d in outs)
+        # SRdens on the x1 layout has no same-size target: metrics are
+        # skipped (as the reference's test.py does throughout), no CSV
+        assert not (tmp_path / "result" / "Performs.csv").exists()
+
+    def test_eval_driver_net1_metrics(self, synth, tmp_path, monkeypatch):
+        """net='1' (the reference default): fake_B matches realB by
+        construction, so the eval writes the testCas.py:92-103 metric
+        protocol row (round-5 addition for the adversarial family)."""
+        monkeypatch.chdir(tmp_path)
+        import jax
+
+        from srcgan_tpu.cli import test_cyclegan
+        from srcgan_tpu.train import save_params
+        from srcgan_tpu.train.cyclegan import CycleGANTrainer
+
+        tr = CycleGANTrainer(net="1", mode="x2")
+        netGA = str(tmp_path / "netG_A2B_SRtask_x2_0005.npz")
+        netGB = str(tmp_path / "netG_B2A_SRtask_x2_0005.npz")
+        save_params(netGA, tr.netG_A.init(jax.random.PRNGKey(0)))
+        save_params(netGB, tr.netG_B.init(jax.random.PRNGKey(1)))
+
+        test_cyclegan.main([
+            "--netGA", netGA, "--netGB", netGB, "--net", "1",
+            "--root", "Sat2Aerx1", "--data-dir", synth,
+            "--result-dir", str(tmp_path / "result"),
+        ])
+        csv = (tmp_path / "result" / "Performs.csv").read_text()
+        assert csv.splitlines()[0] == "time,checkpoint,MSE,PSNR,AE,SSIM"
+        assert "netG_A2B_SRtask_x2_0005" in csv
 
 
 class TestPreemption:
