@@ -27,7 +27,8 @@ framework's CLIs on TPU:
 Loss trajectories land in $GAN_DIR/run/losses.jsonl (G total, GAN, cycle,
 identity, D) — the stable-equilibrium evidence for docs/EXAMPLE_RESULTS.md.
 
-Usage:  python scripts/showcase_gan.py
+Usage:  python scripts/showcase_gan.py                 (the committed
+        docs/EXAMPLE_RESULTS.md run: 60 epochs, ~20 min on v5e-1)
         GAN_EPOCHS=2 python scripts/showcase_gan.py    (smoke)
 """
 import json
@@ -40,7 +41,7 @@ from srcgan_tpu import data
 from srcgan_tpu.cli import test_cyclegan, train_cyclegan
 
 WORK = os.environ.get("GAN_DIR", os.path.join("runs", "showcase_gan"))
-EPOCHS = int(os.environ.get("GAN_EPOCHS", "600"))
+EPOCHS = int(os.environ.get("GAN_EPOCHS", "60"))
 THRESHOLD = 22.5  # vis.sh:13
 
 
