@@ -27,10 +27,13 @@ _LUMA_R, _LUMA_G, _LUMA_B = 0.2125, 0.7154, 0.0721
 
 
 def _kernel(rgb_ref, mh_ref, mw_ref, gray_ref, low_ref):
+    # Channel-PLANE layout (1, 3, H, W): blocks keep (H, W) as the tiled
+    # last-two dims.  The original (1, H, W, 3) layout lane-padded the
+    # trailing 3 to 128 (Mosaic (8,128) tiling), inflating every block 42x
+    # and blowing the scoped-vmem budget at 256².
     # Mosaic has no direct u8->f32 cast; hop through int32 (free on the VPU).
     rgb = rgb_ref[0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-    gray = (rgb[:, :, 0] * _LUMA_R + rgb[:, :, 1] * _LUMA_G
-            + rgb[:, :, 2] * _LUMA_B)                      # (H, W)
+    gray = (rgb[0] * _LUMA_R + rgb[1] * _LUMA_G + rgb[2] * _LUMA_B)  # (H, W)
     gray_ref[0] = gray
     # separable bilinear downsample on the MXU: (H2,H)@(H,W) then @(W,W2)
     tmp = jnp.dot(mh_ref[:], gray, preferred_element_type=jnp.float32)
@@ -47,11 +50,13 @@ def fused_gray_degrade(tar_u8, up: int, interpret: bool = False):
     h2, w2 = h // up, w // up
     mh = jnp.asarray(_bilinear_matrix(h, h2))          # (h2, h)
     mw = jnp.asarray(_bilinear_matrix(w, w2)).T        # (w, w2)
+    # channel-plane layout: (H, W) stay the (8,128)-tiled last-two dims
+    planes = jnp.transpose(tar_u8, (0, 3, 1, 2))       # (N, 3, H, W) u8
 
     grid_spec = pl.GridSpec(
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h, w, 3), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -69,5 +74,5 @@ def fused_gray_degrade(tar_u8, up: int, interpret: bool = False):
         out_shape=[jax.ShapeDtypeStruct((n, h, w), jnp.float32),
                    jax.ShapeDtypeStruct((n, h2, w2), jnp.float32)],
         interpret=interpret,
-    )(tar_u8, mh, mw)
+    )(planes, mh, mw)
     return gray[..., None], low[..., None]
