@@ -42,6 +42,10 @@ from srcgan_tpu.cli import test_cyclegan, train_cyclegan
 
 WORK = os.environ.get("GAN_DIR", os.path.join("runs", "showcase_gan"))
 EPOCHS = int(os.environ.get("GAN_EPOCHS", "60"))
+# net='1' (reference default) or 'SRdens' (the reference's only
+# shape-consistent committed pair: SRDenseNetA up / SRDenseNetB down,
+# gray->RGB — realA comes from the dataset's LR gray src)
+NET = os.environ.get("GAN_NET", "1")
 THRESHOLD = 22.5  # vis.sh:13
 
 
@@ -59,7 +63,7 @@ def main():
         size=256, seed=7, scale=2, colorizable=True)
 
     train_cyclegan.main([
-        "--net", "1", "--mode", "x2",
+        "--net", NET, "--mode", "x2",
         "--num-epochs", str(EPOCHS), "--batch-size", "1",
         "--pool-size", "4", "--device-pool",
         # NOT --steps-per-dispatch: the K=16-fused G+pool+D scanned program
@@ -73,7 +77,7 @@ def main():
 
     ga = os.path.join(ck, f"netG_A2B_SRtask_x2_{EPOCHS:04d}.npz")
     gb = os.path.join(ck, f"netG_B2A_SRtask_x2_{EPOCHS:04d}.npz")
-    test_cyclegan.main(["--netGA", ga, "--netGB", gb, "--net", "1",
+    test_cyclegan.main(["--netGA", ga, "--netGB", gb, "--net", NET,
                         "--root", root, "--data-dir", data_dir,
                         "--result-dir", res])
 
@@ -97,14 +101,19 @@ def _panels(ga, gb, root, data_dir, res):
     from srcgan_tpu.train.state import load_params
     from srcgan_tpu.utils import vis
 
-    trainer = CycleGANTrainer(net="1", mode="x2")
+    trainer = CycleGANTrainer(net=NET, mode="x2")
     pA = load_params(ga)
     psnr = metrics.PSNR()
 
     @jax.jit
-    def run(realB):
-        realA = ops.interpolate(realB, scale_factor=1.0 / trainer.scale,
-                                mode="nearest")
+    def run(srcA, realB):
+        if NET == "1":
+            # realA synthesized from the target (train.py:380-382)
+            realA = ops.interpolate(realB, scale_factor=1.0 / trainer.scale,
+                                    mode="nearest")
+        else:
+            # gray->RGB nets consume the dataset's LR gray src
+            realA = srcA
         fake_B = trainer.netG_A.fwd(pA, realA)
         return realA, fake_B, psnr(fake_B, realB)
 
@@ -116,9 +125,9 @@ def _panels(ga, gb, root, data_dir, res):
     for idx in range(len(testset)):
         import jax.numpy as jnp
         src_u8, tar_u8 = testset.raw(idx)
-        _, realB = preprocess.convert_pair(
+        srcA, realB = preprocess.convert_pair(
             jnp.asarray(src_u8[None]), jnp.asarray(tar_u8[None]), "G2RGB")
-        realA, fake_B, p = run(realB)
+        realA, fake_B, p = run(srcA, realB)
         name = testset.datalist[idx]
         print(f"  {name}: fake_B PSNR {float(p):.2f} dB"
               + ("" if float(p) > THRESHOLD else "  (below bar, not saved)"))
