@@ -37,7 +37,9 @@ def main():
 
     train_multitask.main([
         "--mode", "x2", "--num-epochs", str(EPOCHS), "--batch-size", "1",
-        "--device-pool",
+        # HOST pools (the reference's structure): the fully-fused
+        # G+pools+D device-pool program (3 generators, 5 passes, remat)
+        # OOM-kills the relay's remote compile helper at 256^2
         "--save-every", str(max(EPOCHS // 6, 1)),
         "--root", root, "--data-dir", data_dir, "--checkpoints", ck,
         "--run-dir", run_dir, "--log-every", "4", "--seed", "0"])
