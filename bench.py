@@ -54,6 +54,14 @@ BASELINE_CACHE = os.path.join(_HERE, ".bench_torch_baseline.json")
 # torch-CPU baseline cache lifetime: ~one build round.  Older caches are
 # re-measured so the headline's vs_baseline denominator stays fresh.
 MAX_BASELINE_AGE_S = 7 * 86400.0
+# Last COMPLETE headline, persisted across runs: a degraded-relay day can
+# stall the first compile past the whole budget (observed round 5), and a
+# zero-section partial line would otherwise erase all perf evidence.
+# Partial emissions attach this under detail.prior_complete, age-labeled —
+# context, never a substitute for the fresh value.
+LAST_COMPLETE_CACHE = os.environ.get(
+    "SRCGAN_BENCH_LAST_COMPLETE",
+    os.path.join(_HERE, ".bench_last_complete.json"))
 SCRATCH = os.environ.get("SRCGAN_BENCH_SCRATCH",
                          os.path.join(_HERE, ".bench_scratch.json"))
 
@@ -874,6 +882,17 @@ def assemble(state: dict, partial: bool) -> dict:
                                     for k, v in state["errors"].items()}
     if partial:
         detail["partial"] = True
+        try:
+            with open(LAST_COMPLETE_CACHE) as f:
+                prior = json.load(f)
+            detail["prior_complete"] = {
+                "value": prior.get("value"),
+                "vs_baseline": prior.get("vs_baseline"),
+                "age_h": round((time.time() - float(prior.get("t", 0.0)))
+                               / 3600, 1),
+            }
+        except Exception:
+            pass
     return {
         "metric": "rddbnet_x4_sr_throughput",
         "value": round(float(value), 2),
@@ -1131,7 +1150,19 @@ def main() -> None:
         os.remove(sentinel)
     except OSError:
         pass
-    emit(state, partial=bool(state.get("skipped") or state.get("errors")))
+    partial = bool(state.get("skipped") or state.get("errors"))
+    if not partial:
+        # persist this complete headline so a future degraded-relay
+        # partial run can carry it as age-labeled context
+        try:
+            full = assemble(_snapshot(state), partial=False)
+            with open(LAST_COMPLETE_CACHE, "w") as f:
+                json.dump({"value": full["value"],
+                           "vs_baseline": full["vs_baseline"],
+                           "t": time.time()}, f)
+        except Exception:
+            pass
+    emit(state, partial=partial)
 
 
 if __name__ == "__main__":

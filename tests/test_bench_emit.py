@@ -62,6 +62,41 @@ class TestCheckRegressions:
 
 
 # ---------------------------------------------------------------------------
+# Unit: partial emissions carry the last complete headline (round 5: a
+# degraded-relay window can stall the first compile past the whole budget;
+# a zero-section partial must not erase all perf evidence)
+# ---------------------------------------------------------------------------
+
+class TestPriorComplete:
+    def test_partial_attaches_prior_with_age(self, tmp_path, monkeypatch):
+        cache = tmp_path / "last.json"
+        cache.write_text(json.dumps(
+            {"value": 203.2, "vs_baseline": 907.3,
+             "t": time.time() - 7200.0}))
+        monkeypatch.setattr(bench, "LAST_COMPLETE_CACHE", str(cache))
+        out = bench.assemble(_state(), partial=True)
+        pc = out["detail"]["prior_complete"]
+        assert pc["value"] == 203.2 and pc["vs_baseline"] == 907.3
+        assert 1.9 <= pc["age_h"] <= 2.2
+
+    def test_complete_emission_never_attaches(self, tmp_path, monkeypatch):
+        cache = tmp_path / "last.json"
+        cache.write_text(json.dumps({"value": 1.0, "vs_baseline": 2.0,
+                                     "t": time.time()}))
+        monkeypatch.setattr(bench, "LAST_COMPLETE_CACHE", str(cache))
+        out = bench.assemble(
+            _state({"fwd": {"bf16_mps": 7.0, "platform": "tpu"}}),
+            partial=False)
+        assert "prior_complete" not in out["detail"]
+
+    def test_missing_cache_is_silent(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(bench, "LAST_COMPLETE_CACHE",
+                            str(tmp_path / "absent.json"))
+        out = bench.assemble(_state(), partial=True)
+        assert "prior_complete" not in out["detail"]
+
+
+# ---------------------------------------------------------------------------
 # Unit: torch-CPU baseline cache freshness (VERDICT r4 item 8)
 # ---------------------------------------------------------------------------
 
